@@ -1,0 +1,1014 @@
+"""Model: the posterior pipeline.
+
+Capability parity with /root/reference/cobaya/model.py: requirement
+resolution and provider assignment across theories/likelihoods, topological
+component ordering with circular-dependency detection, the multi-rule
+input/output parameter assignment algorithm, prior-short-circuited
+``logposterior`` evaluation, per-likelihood ``chi2__*`` derived wiring,
+speed-based parameter blocking (footprints x costs -> blocks + oversampling,
+optional fast/slow split), speed measurement, and ``get_model()``.
+
+TPU-first design: besides the eager cobaya-style API
+(``model.logposterior(point)``), the Model compiles the whole pipeline into a
+single pure jittable function over the sampled vector
+(:meth:`Model.make_logposterior_fn`), which samplers ``vmap`` over thousands
+of walkers.  Jittable components trace inline; non-jittable ones are bridged
+with batched ``jax.pure_callback``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections.abc import Mapping, Sequence
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+from ..utils import conventions as cv
+from ..utils.log import HasLogger, LoggedError, logger_setup
+from ..utils.tools import deepcopy_where_possible, sort_parameter_blocks, str_to_list
+from ..utils.typing_ import InputDict
+from .component import ComponentCollection, Timer
+from .input_ import load_input_dict, update_info
+from .likelihood import (
+    AbsorbUnusedParamsLikelihood,
+    LikelihoodCollection,
+    LikelihoodInterface,
+    is_LikelihoodInterface,
+)
+from .parameterization import Parameterization
+from .prior import Prior
+from .theory import Provider, Theory, TheoryCollection, check_requirement
+
+
+@dataclasses.dataclass
+class LogPosterior:
+    """A posterior evaluation: log-priors, log-likelihoods, derived params.
+
+    ``logpost = sum(logpriors) + sum(loglikes)`` (consistency enforced,
+    cf. reference model.py:100).
+    """
+
+    logpost: float | None = None
+    logpriors: Sequence[float] | None = None
+    loglikes: Sequence[float] | None = None
+    derived: Sequence[float] | None = None
+    finite: bool = False
+
+    def __post_init__(self):
+        if self.logpriors is not None:
+            self.logprior = float(np.sum(self.logpriors))
+        else:
+            self.logprior = None
+        if self.loglikes is not None:
+            self.loglike = float(np.sum(self.loglikes))
+        else:
+            self.loglike = None
+        if self.logpost is None:
+            if self.logprior is None or self.loglike is None:
+                raise ValueError("Cannot compute logpost")
+            self.logpost = (
+                self.logprior + self.loglike
+                if np.isfinite(self.logprior) else -np.inf
+            )
+        if self.finite:
+            self.logpost = float(np.nan_to_num(self.logpost, nan=-np.inf))
+        elif (
+            self.logprior is not None
+            and self.loglike is not None
+            and np.isfinite(self.logprior)
+            and np.isfinite(self.logpost)
+        ):
+            expected = self.logprior + self.loglike
+            if not np.isclose(self.logpost, expected, rtol=1e-6, atol=1e-8):
+                raise ValueError(
+                    f"logposterior inconsistency: {self.logpost} != "
+                    f"{self.logprior} + {self.loglike}"
+                )
+
+    def as_dict(self, model: "Model") -> dict:
+        return {
+            "logpost": self.logpost,
+            "logpriors": dict(zip(model.prior.names, self.logpriors or [])),
+            "loglikes": dict(zip(model.likelihood, self.loglikes or [])),
+            "derived": dict(
+                zip(model.parameterization.derived_params(), self.derived or [])
+            ),
+        }
+
+
+class Model(HasLogger):
+    """The statistical model: parameterization + prior + component DAG."""
+
+    def __init__(
+        self,
+        info_params: Mapping,
+        info_likelihood: Mapping,
+        info_prior: Mapping | None = None,
+        info_theory: Mapping | None = None,
+        packages_path: str | None = None,
+        timing: bool | None = None,
+        allow_renames: bool = True,
+        stop_at_error: bool = False,
+        post: bool = False,
+        skip_unused_theories: bool = False,
+        dropped_theory_params: Sequence[str] | None = None,
+    ):
+        self.set_logger("model")
+        self._updated_info: InputDict = {
+            "params": deepcopy_where_possible(info_params),
+            "likelihood": deepcopy_where_possible(info_likelihood),
+        }
+        if not self._updated_info["likelihood"] and not post:
+            raise LoggedError(self.log, "No likelihood requested!")
+        for k, v in (("prior", info_prior), ("theory", info_theory),
+                     ("packages_path", packages_path), ("timing", timing)):
+            if v not in (None, {}):
+                self._updated_info[k] = deepcopy_where_possible(v)
+        self.parameterization = Parameterization(
+            info_params, allow_renames=allow_renames,
+            ignore_unused_sampled=post,
+        )
+        self.prior = Prior(self.parameterization, info_prior)
+        self.timing = timing
+        self.theory = TheoryCollection(
+            info_theory, packages_path=packages_path, timing=timing
+        )
+        self.likelihood = LikelihoodCollection(
+            info_likelihood, packages_path=packages_path, timing=timing,
+            theory=self.theory,
+        )
+        if stop_at_error:
+            for comp in self.components:
+                comp.stop_at_error = True
+        self.skip_unused_theories = skip_unused_theories
+        self._assign_params(info_likelihood, info_theory,
+                            dropped_theory_params)
+        self._set_dependencies_and_providers()
+        # wire chi2__<like> names
+        self._chi2_names = [cv.chi2_name(name) for name in self.likelihood]
+        self._aggr_chi2_names = {
+            cv.chi2_name(t): [
+                i for i, like in enumerate(self.likelihood.values())
+                if t in like.get_type_list()
+            ]
+            for t in sorted(self.likelihood.all_types)
+        }
+        self._measured_speeds: dict[str, float] | None = None
+        self._jitted_logposterior_fn = None
+
+    # ------------------------------------------------------------------
+    # parameter assignment (reference model.py:1115; spec DEVEL.rst:94-160)
+    # ------------------------------------------------------------------
+    @property
+    def components(self) -> list[Theory]:
+        return list(self.theory.values()) + list(self.likelihood.values())
+
+    def _assign_params(self, info_likelihood, info_theory=None,
+                       dropped_theory_params=None):
+        """Multi-rule assignment (reference model.py:1115; DEVEL.rst:94-160):
+
+        1. explicit input/output params list;  2. params-name prefix (an empty
+        prefix matches everything);  3. class 'params' dict from defaults;
+        4. declared requirements;  5. parameter-agnostic components collect
+        leftovers;  6. components that "can support"/"can provide" a param get
+        unassigned ones; finally the unit likelihood absorbs the rest.
+        """
+        input_params = [
+            p for p in self.parameterization.input_params()
+            if p not in self.parameterization.dropped_param_set()
+        ]
+        output_params = list(self.parameterization.output_params())
+        comps = self.components
+
+        assigned_input: dict[str, list[Theory]] = {p: [] for p in input_params}
+        assigned_output: dict[str, list[Theory]] = {p: [] for p in output_params}
+        assign_components = [
+            c for c in comps if not isinstance(c, AbsorbUnusedParamsLikelihood)
+        ]
+        for assign, option, prefix_attr, derived_param in (
+            (assigned_input, "input_params", "input_params_prefix", False),
+            (assigned_output, "output_params", "output_params_prefix", True),
+        ):
+            agnostic: list[Theory] = []
+            for comp in assign_components:
+                class_params = comp.params if isinstance(comp.params, Mapping) \
+                    else {}
+                if derived_param:
+                    required_params = set(
+                        str_to_list(getattr(comp, "provides", []) or [])
+                    )
+                else:
+                    required_params = {
+                        p for p, v in check_requirement(
+                            comp.get_requirements()
+                        ).items() if v is None
+                    }
+                explicit = getattr(comp, option, None)
+                prefix = getattr(comp, prefix_attr, None)
+                # 1. explicit list (set by info or by external-function intro)
+                if explicit is not None:
+                    for p in explicit:
+                        if p in assign:
+                            assign[p].append(comp)
+                        elif not derived_param:
+                            raise LoggedError(
+                                self.log,
+                                "Parameter '%s' needed as input for '%s' but "
+                                "not provided.", p, comp.get_name(),
+                            )
+                # 2. prefix rule ('' matches everything)
+                elif prefix is not None:
+                    for p in assign:
+                        if p.startswith(prefix):
+                            assign[p].append(comp)
+                # 3/4. class params dict and/or requirements
+                elif class_params or required_params:
+                    for p, options in class_params.items():
+                        is_derived_entry = (
+                            isinstance(options, Mapping)
+                            and bool(options.get("derived", False))
+                        ) or options is None
+                        if (is_derived_entry is derived_param) and p in assign:
+                            assign[p].append(comp)
+                    for p in required_params:
+                        if p in assign and comp not in assign[p]:
+                            assign[p].append(comp)
+                # 5. no parameter knowledge
+                elif comp.get_allow_agnostic():
+                    agnostic.append(comp)
+            # 6. supporting components take unassigned params
+            unassigned_now = [p for p, cs in assign.items() if not cs]
+            for comp in assign_components:
+                supports = set(
+                    comp.get_can_provide_params() if derived_param
+                    else comp.get_can_support_params()
+                )
+                if dropped_theory_params and not isinstance(
+                    comp, LikelihoodInterface
+                ):
+                    supports -= set(dropped_theory_params)
+                for p in (unassigned_now if derived_param else list(assign)):
+                    if p in supports and comp not in assign[p]:
+                        assign[p].append(comp)
+            if len(agnostic) > 1 and not all(assign.values()):
+                raise LoggedError(
+                    self.log,
+                    "More than one parameter-agnostic component for %s: %r",
+                    option, [c.get_name() for c in agnostic],
+                )
+            if agnostic:
+                for p, cs in assign.items():
+                    if not cs:
+                        cs.append(agnostic[0])
+        # the unit likelihood absorbs remaining inputs
+        for like in self.likelihood.values():
+            if isinstance(like, AbsorbUnusedParamsLikelihood):
+                for p, cs in assigned_input.items():
+                    if not cs:
+                        cs.append(like)
+                break
+        # params used by dynamic input functions of assigned params are fine
+        input_deps = self.parameterization.input_dependencies
+        used_in_dynamic: set[str] = set()
+        for p, cs in assigned_input.items():
+            if cs:
+                used_in_dynamic |= set(input_deps.get(p, ()))
+        # params used by external priors are fine too
+        for ext in self.prior.external.values():
+            used_in_dynamic |= set(ext.params)
+        unassigned = [
+            p for p, cs in assigned_input.items()
+            if not cs and p not in used_in_dynamic
+        ]
+        # aggregated chi2__<type> / chi2__<like> params are provided by the
+        # model itself (wired from loglikes), never by components
+        model_provided = {
+            p for p in output_params if p.startswith(cv.OUT_CHI2 + cv.SEPARATOR)
+        }
+        for p in model_provided:
+            assigned_output[p] = []
+        still_unassigned_out = [
+            p for p, cs in assigned_output.items()
+            if not cs and p not in model_provided
+        ]
+        if unassigned:
+            raise LoggedError(
+                self.log,
+                "Could not assign input parameters to any component: %r. "
+                "If these are only used in priors or dynamic parameters, add "
+                "the 'one' likelihood or mark them with 'drop: True'.",
+                unassigned,
+            )
+        if still_unassigned_out:
+            raise LoggedError(
+                self.log,
+                "Could not find a component providing output parameters: %r",
+                still_unassigned_out,
+            )
+        multi_out = {p: cs for p, cs in assigned_output.items() if len(cs) > 1}
+        if multi_out:
+            raise LoggedError(
+                self.log,
+                "Output params can only be computed by one component: %r",
+                {p: [c.get_name() for c in cs] for p, cs in multi_out.items()},
+            )
+        self._input_assignments = assigned_input
+        self._output_assignments = {
+            p: (cs[0] if cs else None) for p, cs in assigned_output.items()
+        }
+        for comp in comps:
+            comp.input_params = [
+                p for p, cs in assigned_input.items() if comp in cs
+            ]
+            comp.output_params = [
+                p for p, comp_of in self._output_assignments.items()
+                if comp_of is comp
+            ]
+            comp.initialize_with_params()
+        if self.is_debug():
+            for comp in comps:
+                self.log.debug(
+                    "%s: input=%s output=%s", comp.get_name(),
+                    comp.input_params, comp.output_params,
+                )
+
+    # ------------------------------------------------------------------
+    # requirements DAG (reference model.py:813)
+    # ------------------------------------------------------------------
+    def _set_dependencies_and_providers(self):
+        comps = self.components
+        # what each component can provide: products + derived params
+        can_provide: dict[str, list[Theory]] = {}
+        for comp in comps:
+            names = set(check_requirement(comp.get_can_provide()))
+            names.update(comp.get_can_provide_methods())
+            names.update(comp.get_can_provide_params())
+            names.update(comp.output_params)
+            for n in names:
+                can_provide.setdefault(n, []).append(comp)
+        # gather requirements, iterating must_provide until stable
+        requirements: dict[str, dict] = {
+            comp.get_name(): check_requirement(comp.get_requirements())
+            for comp in comps
+        }
+        providers: dict[str, Theory] = {}
+        dependencies: dict[str, set[str]] = {c.get_name(): set() for c in comps}
+        pending = [
+            (comp, dict(requirements[comp.get_name()])) for comp in comps
+        ]
+        max_rounds = 10
+        for _ in range(max_rounds):
+            new_pending = []
+            for comp, reqs in pending:
+                for req_name, options in reqs.items():
+                    if req_name in self.parameterization.input_params():
+                        continue  # plain input param, not a product
+                    cands = [
+                        c for c in can_provide.get(req_name, []) if c is not comp
+                    ]
+                    if not cands:
+                        raise LoggedError(
+                            self.log,
+                            "Requirement '%s' of component '%s' cannot be "
+                            "provided by any other component.",
+                            req_name, comp.get_name(),
+                        )
+                    provider = cands[0]
+                    if len(cands) > 1:
+                        self.mpi_warning(
+                            "Requirement '%s' provided by several components %s;"
+                            " using '%s'", req_name,
+                            [c.get_name() for c in cands], provider.get_name(),
+                        )
+                    providers[req_name] = provider
+                    dependencies[comp.get_name()].add(provider.get_name())
+                    # notify the provider: may create new conditional reqs
+                    new_reqs = provider.must_provide(**{req_name: options})
+                    new_reqs = check_requirement(new_reqs)
+                    if new_reqs:
+                        new_pending.append((provider, new_reqs))
+            if not new_pending:
+                break
+            pending = new_pending
+        else:
+            raise LoggedError(
+                self.log, "Requirements did not stabilize after %d rounds "
+                "(circular conditional requirements?)", max_rounds,
+            )
+        # topological sort with cycle detection
+        order: list[Theory] = []
+        temp, perm = set(), set()
+        by_name = {c.get_name(): c for c in comps}
+
+        def visit(name: str):
+            if name in perm:
+                return
+            if name in temp:
+                raise LoggedError(
+                    self.log, "Circular dependency involving component '%s'", name
+                )
+            temp.add(name)
+            for dep in sorted(dependencies.get(name, ())):
+                visit(dep)
+            temp.discard(name)
+            perm.add(name)
+            order.append(by_name[name])
+
+        for comp in comps:
+            visit(comp.get_name())
+        if self.skip_unused_theories:
+            used = set()
+            for like in self.likelihood.values():
+                used.add(like.get_name())
+                stack = list(dependencies[like.get_name()])
+                while stack:
+                    n = stack.pop()
+                    if n not in used:
+                        used.add(n)
+                        stack.extend(dependencies[n])
+            order = [
+                c for c in order
+                if c.get_name() in used or isinstance(c, LikelihoodInterface)
+            ]
+        self._component_order = order
+        self._dependencies = dependencies
+        self.provider = Provider(self, providers)
+        for comp in comps:
+            comp.initialize_with_provider(self.provider)
+        self.requirements = requirements
+
+    # ------------------------------------------------------------------
+    # public introspection
+    # ------------------------------------------------------------------
+    def info(self) -> InputDict:
+        return deepcopy_where_possible(self._updated_info)
+
+    def get_versions(self, add_version_field=False):
+        return {
+            "theory": self.theory.get_versions(add_version_field),
+            "likelihood": self.likelihood.get_versions(add_version_field),
+        }
+
+    def sampled_dependence(self) -> dict[str, list[Theory]]:
+        """Which components must recompute when each sampled param changes."""
+        dep_input = self.parameterization.sampled_input_dependence()
+        out: dict[str, list[Theory]] = {}
+        downstream_cache: dict[str, set[str]] = {}
+
+        def downstream(name: str) -> set[str]:
+            if name not in downstream_cache:
+                result = {name}
+                for other, deps in self._dependencies.items():
+                    if name in deps:
+                        result |= downstream(other)
+                downstream_cache[name] = result
+            return downstream_cache[name]
+
+        for s in self.parameterization.sampled_params():
+            touched = {s} | set(dep_input.get(s, []))
+            direct = {
+                comp.get_name() for comp in self.components
+                if touched & set(comp.input_params)
+            }
+            all_names: set[str] = set()
+            for name in direct:
+                all_names |= downstream(name)
+            out[s] = [
+                c for c in self._component_order if c.get_name() in all_names
+            ]
+        return out
+
+    # ------------------------------------------------------------------
+    # eager evaluation (cobaya-style scripted API)
+    # ------------------------------------------------------------------
+    def logposterior(
+        self, params_values, return_derived: bool = True,
+        make_finite: bool = False, cached: bool = True,
+        _no_check: bool = False,
+    ) -> LogPosterior:
+        if not _no_check:
+            params_values = self.parameterization.check_sampled(params_values)
+        if hasattr(params_values, "keys"):
+            x = np.array(
+                [params_values[p] for p in self.parameterization.sampled_params()]
+            )
+        else:
+            x = np.asarray(params_values, dtype=float)
+        logprior_internal = float(self.prior.logps_internal_jax(x))
+        input_values = None
+        logpriors = [logprior_internal]
+        if self.prior.external:
+            input_values = self.parameterization.to_input(x)
+            logpriors += [
+                float(np.asarray(v))
+                for v in self.prior.logps_external(input_values)
+            ]
+        if not np.isfinite(np.sum(logpriors)):
+            n_der = len(self.parameterization.derived_params())
+            return LogPosterior(
+                logpriors=logpriors,
+                loglikes=[-np.inf] * len(self.likelihood),
+                derived=[np.nan] * n_der if return_derived else None,
+                finite=make_finite,
+            )
+        if input_values is None:
+            input_values = self.parameterization.to_input(x)
+        loglikes, derived = self._loglikes_input_params(
+            input_values, return_derived=return_derived, cached=cached
+        )
+        return LogPosterior(
+            logpriors=logpriors, loglikes=loglikes,
+            derived=derived if return_derived else None, finite=make_finite,
+        )
+
+    def _loglikes_input_params(
+        self, input_values: Mapping, return_derived: bool = True,
+        cached: bool = True,
+    ):
+        self.provider.set_current_input_params(input_values)
+        loglikes = np.full(len(self.likelihood), np.nan)
+        outputs: dict[str, Any] = {}
+        like_index = {
+            like: i for i, like in enumerate(self.likelihood.values())
+        }
+        for comp in self._component_order:
+            params = {
+                p: input_values[p] for p in comp.input_params
+                if p in input_values
+            }
+            dep_params = tuple(
+                str(outputs.get(d)) for d in sorted(
+                    self._dependencies.get(comp.get_name(), ())
+                )
+            )
+            state = comp.check_cache_and_compute(
+                params, dependency_params=dep_params,
+                want_derived=return_derived, cached=cached,
+            )
+            if state is False:
+                self.log.debug(
+                    "Component '%s' failed at %r", comp.get_name(), params
+                )
+                loglikes[:] = -np.inf
+                n_der = len(self.parameterization.derived_params())
+                return loglikes.tolist(), (
+                    [np.nan] * n_der if return_derived else None
+                )
+            if return_derived:
+                outputs.update(state.get("derived") or {})
+            if comp in like_index:
+                loglikes[like_index[comp]] = float(
+                    np.asarray(state.get("logp"))
+                )
+        derived_list = None
+        if return_derived:
+            # chi2 wiring: per-likelihood and per-type aggregates
+            for i, like_name in enumerate(self.likelihood):
+                outputs.setdefault(cv.chi2_name(like_name), -2 * loglikes[i])
+            for name, idxs in self._aggr_chi2_names.items():
+                outputs[name] = -2 * float(np.sum(loglikes[idxs]))
+            derived = self.parameterization.to_derived(
+                {p: outputs.get(p, np.nan)
+                 for p in self.parameterization.output_params()},
+                input_values,
+            )
+            derived_list = [
+                float(np.asarray(v)) for v in derived.values()
+            ]
+        return loglikes.tolist(), derived_list
+
+    def loglikes(self, params_values=None, as_dict=False,
+                 make_finite=False, return_derived=True, cached=True):
+        result = self.logposterior(
+            params_values, return_derived=return_derived,
+            make_finite=make_finite, cached=cached,
+        )
+        if as_dict:
+            loglikes = dict(zip(self.likelihood, result.loglikes))
+            derived = dict(zip(
+                self.parameterization.derived_params(), result.derived or []
+            ))
+            return (loglikes, derived) if return_derived else loglikes
+        if return_derived:
+            return np.array(result.loglikes), np.array(result.derived or [])
+        return np.array(result.loglikes)
+
+    def loglike(self, params_values=None, make_finite=False,
+                return_derived=True, cached=True):
+        if return_derived:
+            loglikes, derived = self.loglikes(
+                params_values, make_finite=make_finite, cached=cached
+            )
+            return float(np.sum(loglikes)), derived
+        return float(np.sum(self.loglikes(
+            params_values, make_finite=make_finite, return_derived=False,
+            cached=cached,
+        )))
+
+    def logpriors(self, params_values=None, make_finite=False, as_dict=False):
+        params_values = self.parameterization.check_sampled(params_values)
+        if hasattr(params_values, "keys"):
+            x = np.array(
+                [params_values[p]
+                 for p in self.parameterization.sampled_params()]
+            )
+        else:
+            x = np.asarray(params_values, dtype=float)
+        logps = self.prior.logps(x)
+        if make_finite:
+            logps = np.nan_to_num(logps).tolist()
+        if as_dict:
+            return dict(zip(self.prior.names, logps))
+        return np.array(logps)
+
+    def logprior(self, params_values=None, make_finite=False):
+        return float(np.sum(self.logpriors(params_values,
+                                           make_finite=make_finite)))
+
+    def logpost(self, params_values=None, make_finite=False, cached=True):
+        return self.logposterior(
+            params_values, return_derived=False, make_finite=make_finite,
+            cached=cached,
+        ).logpost
+
+    def get_valid_point(
+        self, max_tries: int, ignore_fixed_ref: bool = False,
+        logposterior_as_dict: bool = False, random_state=None,
+    ):
+        """Draw from the reference pdf until the posterior is finite."""
+        for i in range(int(max_tries)):
+            point = self.prior.reference(
+                warn_if_no_ref=(i == 0), ignore_fixed=ignore_fixed_ref,
+                random_state=random_state,
+            )
+            results = self.logposterior(point)
+            if np.isfinite(results.logpost):
+                if logposterior_as_dict:
+                    return point, results.as_dict(self)
+                return point, results
+            if self.prior.reference_is_pointlike():
+                raise LoggedError(
+                    self.log,
+                    "The reference point is fixed but has non-finite posterior.",
+                )
+        raise LoggedError(
+            self.log,
+            "Could not find a point with finite posterior after %d tries. "
+            "Check priors/likelihoods or provide better 'ref' values.",
+            max_tries,
+        )
+
+    def add_requirements(self, requirements):
+        """Request extra products (scripted API); re-resolves the DAG."""
+        reqs = check_requirement(requirements)
+        existing = check_requirement(
+            self.likelihood["_manual_reqs"].get_requirements()
+        ) if "_manual_reqs" in self.likelihood else {}
+        existing.update(reqs)
+
+        class _ManualReqs(AbsorbUnusedParamsLikelihood):
+            jittable = False
+
+            def get_requirements(self):
+                return existing
+
+            def logp_jax(self, params, provider_products=None):
+                return 0.0, {}
+
+        self.likelihood["_manual_reqs"] = _ManualReqs(
+            {}, name="_manual_reqs", timing=self.timing
+        )
+        self.likelihood["_manual_reqs"].input_params = []
+        self.likelihood["_manual_reqs"].output_params = []
+        self._set_dependencies_and_providers()
+
+    # ------------------------------------------------------------------
+    # jit compilation of the full pipeline (TPU hot path)
+    # ------------------------------------------------------------------
+    @property
+    def derived_names(self) -> list[str]:
+        return list(self.parameterization.derived_params())
+
+    @property
+    def like_names(self) -> list[str]:
+        return list(self.likelihood)
+
+    def make_logposterior_fn(self, clip_to_bounds: bool = True) -> Callable:
+        """Build a pure jittable function x -> (logpost, logpriors, loglikes, derived).
+
+        ``x`` is the sampled vector (shape (d,)); outputs are jnp arrays of
+        shapes ((), (1+n_ext_priors,), (n_likes,), (n_derived,)).  Out-of-prior
+        points short-circuit: likelihoods evaluate at the clipped point and
+        their values are masked, so no NaNs leak out of support.
+        Vmap/vmap-of-grad safe.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        sampled_names = list(self.parameterization.sampled_params())
+        bounds = self.prior.bounds(confidence_for_unbounded=1.0)
+        lo = np.where(np.isfinite(bounds[:, 0]), bounds[:, 0], -np.inf)
+        hi = np.where(np.isfinite(bounds[:, 1]), bounds[:, 1], np.inf)
+        like_list = list(self.likelihood.values())
+        like_names = list(self.likelihood.keys())
+        comp_order = list(self._component_order)
+        output_names = list(self.parameterization.output_params())
+        derived_names = self.derived_names
+        aggr = dict(self._aggr_chi2_names)
+        n_ext = len(self.prior.external)
+
+        def fn(x):
+            x = jnp.asarray(x)
+            logprior0 = self.prior.logps_internal_jax(x)
+            x_safe = jnp.clip(x, jnp.asarray(lo, x.dtype), jnp.asarray(hi, x.dtype)) \
+                if clip_to_bounds else x
+            sampled = dict(zip(sampled_names, x_safe))
+            input_values = self.parameterization.to_input(sampled)
+            logpriors = [logprior0]
+            for ext in self.prior.external.values():
+                logpriors.append(jnp.asarray(ext.logp(input_values)))
+            products: dict[str, Any] = {}
+            outputs: dict[str, Any] = {}
+            loglikes_list = []
+            for comp in comp_order:
+                params = {
+                    p: input_values[p] for p in comp.input_params
+                    if p in input_values
+                }
+                prods, derived = self._component_jax_step(comp)(
+                    params, products
+                )
+                products[comp.get_name()] = prods
+                outputs.update(derived or {})
+                if isinstance(comp, LikelihoodInterface):
+                    loglikes_list.append(jnp.asarray(prods["logp"]))
+            loglikes = (
+                jnp.stack(loglikes_list) if loglikes_list
+                else jnp.zeros((0,), x.dtype)
+            )
+            for i, like_name in enumerate(like_names):
+                outputs.setdefault(cv.chi2_name(like_name), -2 * loglikes[i])
+            for name, idxs in aggr.items():
+                outputs[name] = -2 * sum(
+                    (loglikes[i] for i in idxs), start=jnp.asarray(0.0, x.dtype)
+                )
+            derived_dict = self.parameterization.to_derived(
+                {p: outputs.get(p, jnp.nan) for p in output_names},
+                input_values,
+            )
+            derived = (
+                jnp.stack([jnp.asarray(derived_dict[p], dtype=x.dtype)
+                           for p in derived_names])
+                if derived_names else jnp.zeros((0,), x.dtype)
+            )
+            logpriors_arr = jnp.stack([jnp.asarray(v, dtype=x.dtype)
+                                       for v in logpriors])
+            prior_ok = jnp.isfinite(logprior0)
+            loglikes = jnp.where(prior_ok, loglikes, -jnp.inf)
+            logpost = jnp.where(
+                prior_ok, jnp.sum(logpriors_arr) + jnp.sum(loglikes), -jnp.inf
+            )
+            return logpost, logpriors_arr, loglikes, derived
+
+        return fn
+
+    def _component_jax_step(self, comp: Theory) -> Callable:
+        """Traced step for one component: (params, products_so_far) -> (prods, derived)."""
+        import jax
+        import jax.numpy as jnp
+
+        if getattr(comp, "jittable", False):
+            def step(params, products_so_far):
+                return comp.calculate_jax(
+                    params, want_derived=True,
+                    provider_products=products_so_far,
+                )
+            return step
+
+        # Host bridge: batched pure_callback.  Output spec from the component
+        # or (for likelihoods) default to scalar logp + declared output params.
+        spec = comp.callback_output_spec()
+        if not spec and isinstance(comp, LikelihoodInterface):
+            spec = {"logp": jax.ShapeDtypeStruct((), jnp.float32)}
+            for p in comp.output_params:
+                spec[p] = jax.ShapeDtypeStruct((), jnp.float32)
+        param_names = list(comp.input_params)
+        out_names = list(spec)
+
+        def host_eval(*arrays):
+            arrays = [np.asarray(a) for a in arrays]
+            batch_shape = arrays[0].shape if arrays else ()
+            flat = [a.reshape(-1) for a in arrays]
+            n = flat[0].size if flat else 1
+            results = {k: np.empty((n,) + spec[k].shape,
+                                   dtype=spec[k].dtype) for k in out_names}
+            for i in range(n):
+                params = {p: float(v[i]) for p, v in zip(param_names, flat)}
+                if isinstance(comp, LikelihoodInterface):
+                    derived: dict = {}
+                    logp = comp.logp(_derived=derived, **params)
+                    values = {"logp": logp, **derived}
+                else:
+                    state: dict = {"derived": {}}
+                    comp.calculate(state, True, **params)
+                    values = {**state, **(state.get("derived") or {})}
+                for k in out_names:
+                    results[k][i] = values.get(k, np.nan)
+            return tuple(
+                results[k].reshape(batch_shape + spec[k].shape)
+                for k in out_names
+            )
+
+        def step(params, products_so_far):
+            arrays = [jnp.asarray(params[p]) for p in param_names]
+            out = jax.pure_callback(
+                host_eval,
+                tuple(spec[k] for k in out_names),
+                *arrays,
+                vmap_method="expand_dims",
+            )
+            values = dict(zip(out_names, out))
+            derived = {
+                p: values[p] for p in getattr(comp, "output_params", [])
+                if p in values
+            }
+            return values, derived
+
+        return step
+
+    # ------------------------------------------------------------------
+    # speed measurement & parameter blocking (reference model.py:1340-1592)
+    # ------------------------------------------------------------------
+    def measure_and_set_speeds(self, n: int | None = None,
+                               discard: int = 1, max_tries: int = 10,
+                               random_state=None):
+        """Time per-component evaluation over n random reference points."""
+        n = int(n or 3)
+        self.mpi_info("Measuring speeds... (%d evaluations)", n)
+        timers = {c.get_name(): Timer() for c in self.components}
+        for comp in self.components:
+            if comp.timer is None:
+                comp.set_timing_on(True)
+        for _ in range(n + discard):
+            point = self.prior.reference(
+                warn_if_no_ref=False, ignore_fixed=True,
+                random_state=random_state,
+            )
+            self.logposterior(point, cached=False)
+        for comp in self.components:
+            avg = comp.timer.get_time_avg() if comp.timer else None
+            if avg:
+                comp.set_measured_speed(1.0 / avg)
+                self.log.debug(
+                    "Measured speed of %s: %g evals/s", comp.get_name(),
+                    1.0 / avg,
+                )
+        self._measured_speeds = {
+            c.get_name(): c.get_speed() for c in self.components
+        }
+
+    def _speeds_of_params(self) -> tuple[list[list[str]], np.ndarray, np.ndarray]:
+        """Blocks of params with equal component footprints, speeds, footprints."""
+        dependence = self.sampled_dependence()
+        comp_names = [c.get_name() for c in self._component_order]
+        footprint_of = {}
+        for p, comps in dependence.items():
+            footprint_of[p] = tuple(
+                1 if name in {c.get_name() for c in comps} else 0
+                for name in comp_names
+            )
+        blocks_by_fp: dict[tuple, list[str]] = {}
+        for p, fp in footprint_of.items():
+            blocks_by_fp.setdefault(fp, []).append(p)
+        blocks = list(blocks_by_fp.values())
+        footprints = np.array(list(blocks_by_fp.keys()))
+        speeds = np.array([
+            c.get_speed() for c in self._component_order
+        ])
+        return blocks, speeds, footprints
+
+    def get_param_blocking_for_sampler(
+        self, oversample_power: float = 0.0, split_fast_slow: bool = False,
+    ):
+        """Optimal parameter blocks + oversampling factors for blocked samplers.
+
+        Returns ``(blocks, oversample_factors)``, slowest block first.  With
+        ``split_fast_slow``, blocks merge into two superblocks maximizing the
+        log-cost gap (reference model.py:1399).
+        """
+        blocks, speeds, footprints = self._speeds_of_params()
+        order, costs, oversample = sort_parameter_blocks(
+            blocks, speeds, footprints, oversample_power=oversample_power
+        )
+        blocks_sorted = [blocks[i] for i in order]
+        if split_fast_slow and len(blocks_sorted) > 1:
+            # find split maximizing log-cost gap weighted by #params
+            log_costs = np.log(costs)
+            gaps = log_costs[:-1] - log_costs[1:]
+            i_split = int(np.argmax(gaps)) + 1
+            slow = [p for b in blocks_sorted[:i_split] for p in b]
+            fast = [p for b in blocks_sorted[i_split:] for p in b]
+            n_slow, n_fast = len(slow), len(fast)
+            cost_slow = float(np.mean(costs[:i_split]))
+            cost_fast = float(np.mean(costs[i_split:]))
+            over_fast = max(1, int(np.round(
+                (cost_slow / cost_fast) ** max(oversample_power, 1e-9)
+                if oversample_power else cost_slow / cost_fast
+            )))
+            return [slow, fast], np.array([1, over_fast])
+        return blocks_sorted, oversample
+
+    def check_blocking(self, blocking):
+        """Validate a manual blocking spec [(oversample, [params...]), ...]."""
+        try:
+            oversample_factors, blocks = zip(*blocking)
+        except (TypeError, ValueError) as exc:
+            raise LoggedError(
+                self.log,
+                "Manual blocking must be a list of (oversample, [params]) "
+                "pairs; got %r", blocking,
+            ) from exc
+        all_params = [p for b in blocks for p in b]
+        sampled = list(self.parameterization.sampled_params())
+        if sorted(all_params) != sorted(sampled):
+            raise LoggedError(
+                self.log,
+                "Manual blocking must contain every sampled parameter exactly "
+                "once. Sampled: %r; given: %r", sampled, all_params,
+            )
+        if any(o != int(o) or o < 1 for o in oversample_factors):
+            raise LoggedError(
+                self.log, "Oversampling factors must be integers >= 1."
+            )
+        if list(oversample_factors) != sorted(oversample_factors):
+            self.mpi_warning(
+                "Oversampling factors not sorted ascending: the fast/slow "
+                "hierarchy may be inverted."
+            )
+        return [list(b) for b in blocks], np.array(
+            [int(o) for o in oversample_factors]
+        )
+
+    def dump_timing(self):
+        rows = ComponentCollection(
+            {c.get_name(): c for c in self.components}
+        ).dump_timing()
+        return rows
+
+    def set_timing_on(self, on: bool):
+        self.timing = on
+        for comp in self.components:
+            comp.set_timing_on(on)
+
+    def close(self):
+        for comp in self.components:
+            comp.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class DummyModel:
+    """Minimal model-shaped object for loading chains without components."""
+
+    def __init__(self, info_params, info_likelihood, info_prior=None):
+        self.parameterization = Parameterization(
+            info_params, ignore_unused_sampled=True
+        )
+        self.prior = Prior(self.parameterization, info_prior)
+        self.likelihood = {name: None for name in (info_likelihood or {})}
+
+
+def get_model(
+    info_or_yaml_or_file, debug=None, stop_at_error=None,
+    packages_path=None, override=None,
+) -> Model:
+    """Build a :class:`Model` from an input dict/YAML (reference model.py:1604)."""
+    info = load_input_dict(info_or_yaml_or_file)
+    if override:
+        from ..utils.tools import recursive_update
+
+        info = recursive_update(info, override)
+    if debug is not None:
+        info["debug"] = debug
+    if stop_at_error is not None:
+        info["stop_at_error"] = stop_at_error
+    if packages_path:
+        info["packages_path"] = packages_path
+    logger_setup(info.get("debug"))
+    # ignore sampler/output blocks
+    updated = update_info(info)
+    return Model(
+        updated.get("params") or {},
+        updated.get("likelihood") or {},
+        info_prior=updated.get("prior"),
+        info_theory=updated.get("theory"),
+        packages_path=updated.get("packages_path"),
+        timing=updated.get("timing"),
+        stop_at_error=bool(updated.get("stop_at_error", False)),
+    )
