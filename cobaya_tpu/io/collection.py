@@ -1,0 +1,457 @@
+"""Sample storage: in-memory chain collections and the cobaya txt format.
+
+Capability parity with /root/reference/cobaya/collection.py: fixed column
+schema ``weight, minuslogpost, <sampled>, <derived>, minuslogprior
+(+ per-prior), chi2 (+ per-likelihood)``; weighted means/covariances over row
+ranges; temperature support (tempered weights + detempering); importance
+reweighting; skip/thin; best-fit/MAP extraction; fixed-width ``%.8g`` text
+output and loading.
+
+TPU-first design: storage is a growable numpy array appended in whole-epoch
+batches (the device flushes thinned sample buffers once per epoch), not a
+pandas DataFrame written row-by-row.  Consecutive identical points are
+run-length-encoded into weights at append time, reproducing the reference's
+accepted-point + weight chain format exactly when thin == 1.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..utils import conventions as cv
+from ..utils.log import HasLogger, LoggedError
+
+# value used by the reference for infinities in chain files
+_OUT_FMT = "%17.8g"
+
+
+def apply_temperature_weights(weights, logpost, temperature):
+    """Convert tempered-chain weights to physical-posterior weights."""
+    if temperature == 1:
+        return weights
+    # tempered posterior p^(1/T): detempered weight w * p^(1-1/T)
+    logp = -np.asarray(logpost)  # minuslogpost stored; here logpost given
+    return weights * np.exp((1 - 1 / temperature) * (logp - logp.max()))
+
+
+class BaseCollection(HasLogger):
+    def __init__(self, model=None, name: Optional[str] = None,
+                 sampled_params=None, derived_params=None, prior_names=None,
+                 like_names=None, temperature: float = 1.0):
+        self.name = name
+        self.set_logger(name or self.__class__.__name__)
+        if model is not None:
+            sampled_params = list(model.parameterization.sampled_params())
+            derived_params = list(model.parameterization.derived_params())
+            prior_names = list(model.prior.names)
+            like_names = list(model.likelihood)
+        self.sampled_params = list(sampled_params or [])
+        self.derived_params = list(derived_params or [])
+        self.prior_names = list(prior_names or [])
+        self.like_names = list(like_names or [])
+        self.temperature = float(temperature)
+        self.columns = (
+            [cv.OUT_WEIGHT, cv.OUT_MINUSLOGPOST]
+            + self.sampled_params
+            + self.derived_params
+            + [cv.OUT_MINUSLOGPRIOR]
+            + [cv.minuslogprior_name(p) for p in self.prior_names]
+            + [cv.OUT_CHI2]
+            + [cv.chi2_name(like) for like in self.like_names]
+        )
+
+    @property
+    def n_sampled(self):
+        return len(self.sampled_params)
+
+
+class SampleCollection(BaseCollection):
+    """A chain of weighted samples."""
+
+    def __init__(self, model=None, output=None, name: Optional[str] = None,
+                 extension: str = "txt", file_name: Optional[str] = None,
+                 resuming: bool = False, load: bool = False,
+                 temperature: float = 1.0, sampled_params=None,
+                 derived_params=None, prior_names=None, like_names=None):
+        super().__init__(model=model, name=name,
+                         sampled_params=sampled_params,
+                         derived_params=derived_params,
+                         prior_names=prior_names, like_names=like_names,
+                         temperature=temperature)
+        self._n = 0
+        self._data = np.empty((0, len(self.columns)))
+        self._output = output
+        self._file_name = file_name
+        if output is not None and file_name is None:
+            self._file_name = output.prefix_regexp_name(name or "1", extension)
+        self._n_flushed = 0
+        if (resuming or load) and self._file_name and os.path.exists(
+            self._file_name
+        ):
+            self._load_file(self._file_name)
+            self._n_flushed = self._n
+
+    # ---- column indexing ---------------------------------------------------
+    def _icol(self, col: str) -> int:
+        try:
+            return self.columns.index(col)
+        except ValueError as exc:
+            raise LoggedError(self.log, "Unknown column '%s'", col) from exc
+
+    def __len__(self):
+        return self._n
+
+    def n(self):
+        return self._n
+
+    @property
+    def data(self) -> np.ndarray:
+        return self._data[: self._n]
+
+    def __getitem__(self, col):
+        if isinstance(col, str):
+            return self.data[:, self._icol(col)]
+        raise LoggedError(self.log, "Index collections by column name.")
+
+    @property
+    def weights(self) -> np.ndarray:
+        return self.data[:, 0]
+
+    def __repr__(self):
+        return (f"SampleCollection({self.name or ''}, {self._n} rows x "
+                f"{len(self.columns)} cols)")
+
+    # ---- appending -----------------------------------------------------------
+    def _ensure_capacity(self, extra: int):
+        need = self._n + extra
+        if need > len(self._data):
+            new_size = max(need, 2 * len(self._data), 1024)
+            grown = np.empty((new_size, len(self.columns)))
+            grown[: self._n] = self._data[: self._n]
+            self._data = grown
+
+    def add(self, values, derived=None, weight: float = 1.0,
+            logpriors=None, loglikes=None, logpost=None):
+        """Add a single point (reference OnePoint-style)."""
+        logpriors = np.atleast_1d(logpriors)
+        loglikes = np.atleast_1d(loglikes if loglikes is not None else [])
+        if logpost is None:
+            logpost = float(np.sum(logpriors) + np.sum(loglikes))
+        row = np.concatenate([
+            [weight, -logpost],
+            np.atleast_1d(values),
+            np.atleast_1d(derived if derived is not None else
+                          np.empty(len(self.derived_params)) * np.nan),
+            [-np.sum(logpriors)], -np.asarray(logpriors),
+            [-2 * np.sum(loglikes)], -2 * np.asarray(loglikes),
+        ])
+        self.append_rows(row[None, :])
+
+    def append_rows(self, rows: np.ndarray):
+        rows = np.atleast_2d(rows)
+        if rows.shape[1] != len(self.columns):
+            raise LoggedError(
+                self.log, "Row width %d != %d columns", rows.shape[1],
+                len(self.columns),
+            )
+        self._ensure_capacity(len(rows))
+        self._data[self._n: self._n + len(rows)] = rows
+        self._n += len(rows)
+
+    def append_batch(self, x, logpost, logpriors, loglikes, derived,
+                     weights=None, rle: bool = True):
+        """Append an epoch batch for one chain, with optional run-length
+        encoding of consecutive repeated points into weights.
+
+        x: (n, d); logpost: (n,); logpriors: (n, np); loglikes: (n, nl);
+        derived: (n, nder); weights: (n,) or None.
+        """
+        n = len(x)
+        if n == 0:
+            return
+        weights = np.ones(n) if weights is None else np.asarray(weights, float)
+        rows = np.empty((n, len(self.columns)))
+        rows[:, 0] = weights
+        rows[:, 1] = -np.asarray(logpost)
+        i0 = 2
+        rows[:, i0:i0 + len(self.sampled_params)] = x
+        i0 += len(self.sampled_params)
+        nd = len(self.derived_params)
+        rows[:, i0:i0 + nd] = (
+            derived if nd else np.empty((n, 0))
+        )
+        i0 += nd
+        rows[:, i0] = -np.sum(logpriors, axis=-1)
+        i0 += 1
+        npri = len(self.prior_names)
+        rows[:, i0:i0 + npri] = -np.asarray(logpriors)
+        i0 += npri
+        rows[:, i0] = -2 * np.sum(loglikes, axis=-1)
+        i0 += 1
+        rows[:, i0:] = -2 * np.asarray(loglikes)
+        if rle and n > 1:
+            # collapse consecutive identical points (same sampled values)
+            xs = rows[:, 2:2 + len(self.sampled_params)]
+            same = np.all(xs[1:] == xs[:-1], axis=1)
+            keep = np.concatenate([[True], ~same])
+            idx = np.flatnonzero(keep)
+            counts = np.diff(np.append(idx, n))
+            rows = rows[idx]
+            rows[:, 0] = rows[:, 0] * 0 + counts * weights[idx]
+        self.append_rows(rows)
+
+    # ---- statistics ------------------------------------------------------------
+    def _range(self, first=None, last=None):
+        first = 0 if first is None else (
+            int(first * self._n) if isinstance(first, float) and first < 1
+            else int(first)
+        )
+        last = self._n if last is None else int(last)
+        return slice(first, last)
+
+    def _detempered_weights(self, sl) -> np.ndarray:
+        w = self.data[sl, 0]
+        if self.temperature == 1:
+            return w
+        mlp = self.data[sl, 1]
+        # p(x)^1 weights from a chain of p^(1/T): w * p^(1 - 1/T)
+        logp = -mlp
+        shift = logp.max()
+        return w * np.exp((1 - 1 / self.temperature) * (logp - shift))
+
+    def mean(self, first=None, last=None, derived: bool = False,
+             pweight: bool = False) -> np.ndarray:
+        sl = self._range(first, last)
+        w = self._detempered_weights(sl)
+        cols = self._param_block(derived)
+        return np.average(self.data[sl, cols[0]:cols[1]], weights=w, axis=0)
+
+    def cov(self, first=None, last=None, derived: bool = False) -> np.ndarray:
+        sl = self._range(first, last)
+        w = self._detempered_weights(sl)
+        cols = self._param_block(derived)
+        vals = self.data[sl, cols[0]:cols[1]]
+        mu = np.average(vals, weights=w, axis=0)
+        dx = vals - mu
+        # frequency weights (integer repeat counts): ddof uses sum(w) - 1
+        wsum = w.sum()
+        denom = max(wsum - 1.0, 1.0)
+        return np.einsum("n,ni,nj->ij", w, dx, dx) / denom
+
+    def _param_block(self, derived: bool):
+        start = 2
+        end = start + len(self.sampled_params)
+        if derived:
+            end += len(self.derived_params)
+        return (start, end)
+
+    def bestfit(self) -> np.ndarray:
+        """Row with the maximum likelihood (min chi2)."""
+        i = np.argmin(self.data[:, self._icol(cv.OUT_CHI2)])
+        return self.data[i]
+
+    def MAP(self) -> np.ndarray:
+        i = np.argmin(self.data[:, 1])
+        return self.data[i]
+
+    def sampled_values(self) -> np.ndarray:
+        return self.data[:, 2:2 + len(self.sampled_params)]
+
+    # ---- transformations ---------------------------------------------------------
+    def detempered_copy(self) -> "SampleCollection":
+        out = self._empty_like(temperature=1.0)
+        rows = self.data.copy()
+        rows[:, 0] = self._detempered_weights(slice(0, self._n))
+        out.append_rows(rows)
+        return out
+
+    def reset_temperature(self):
+        """In-place detempering (reference collection.py:688-764)."""
+        if self.temperature == 1:
+            return self
+        self._data[: self._n, 0] = self._detempered_weights(slice(0, self._n))
+        self.temperature = 1.0
+        return self
+
+    def reweight(self, importance_weights, inplace: bool = False):
+        target = self if inplace else self._copy()
+        target._data[: target._n, 0] = (
+            target.data[:, 0] * np.asarray(importance_weights)
+        )
+        mask = target.data[:, 0] > 0
+        target._data[: mask.sum()] = target.data[mask]
+        target._n = int(mask.sum())
+        return target
+
+    def skip_samples(self, skip, inplace: bool = False):
+        """Drop the first ``skip`` rows (or fraction if < 1)."""
+        n_skip = int(skip * self._n) if 0 < skip < 1 else int(skip)
+        target = self if inplace else self._copy()
+        target._data = target._data[n_skip:]
+        target._n -= n_skip
+        target._n_flushed = max(0, target._n_flushed - n_skip)
+        return target
+
+    def thin_samples(self, thin: int, inplace: bool = False):
+        """Keep unit-weight thinned samples (reference collection.py:1074)."""
+        if thin == 1:
+            return self if inplace else self._copy()
+        w = self.data[:, 0]
+        if not np.allclose(w, np.round(w)):
+            raise LoggedError(
+                self.log, "Cannot thin samples with non-integer weights."
+            )
+        # expand weights, take every thin-th unit sample
+        idx = np.repeat(np.arange(self._n), w.astype(int))[::thin]
+        uniq, counts = np.unique(idx, return_counts=True)
+        rows = self.data[uniq].copy()
+        rows[:, 0] = counts
+        target = self if inplace else self._copy()
+        target._data = rows
+        target._n = len(rows)
+        target._n_flushed = 0
+        return target
+
+    def filtered_copy(self, where) -> "SampleCollection":
+        out = self._empty_like()
+        out.append_rows(self.data[where])
+        return out
+
+    def copy(self) -> "SampleCollection":
+        return self._copy()
+
+    def _copy(self) -> "SampleCollection":
+        out = self._empty_like()
+        out.append_rows(self.data.copy())
+        return out
+
+    def _empty_like(self, temperature=None) -> "SampleCollection":
+        return SampleCollection(
+            name=self.name, sampled_params=self.sampled_params,
+            derived_params=self.derived_params, prior_names=self.prior_names,
+            like_names=self.like_names,
+            temperature=self.temperature if temperature is None
+            else temperature,
+        )
+
+    # ---- disk I/O -------------------------------------------------------------
+    def _header(self) -> str:
+        return "#" + " ".join(f"{c:>16s}" if i else f"{c:>16s}"
+                              for i, c in enumerate(self.columns)) + "\n"
+
+    def format_rows(self, rows: np.ndarray) -> str:
+        lines = []
+        for row in np.atleast_2d(rows):
+            lines.append(" ".join(_OUT_FMT % v for v in row))
+        return "\n".join(lines) + ("\n" if len(lines) else "")
+
+    def out_update(self):
+        """Flush new rows to the chain file (append-only)."""
+        if not self._file_name:
+            return
+        new = self.data[self._n_flushed:]
+        if not len(new):
+            return
+        mode = "a" if self._n_flushed else "w"
+        with open(self._file_name, mode, encoding="utf-8") as f:
+            if mode == "w":
+                f.write(self._header())
+            f.write(self.format_rows(new))
+        self._n_flushed = self._n
+
+    def _load_file(self, file_name: str):
+        from ..utils.tools import truncate_to_end_line
+
+        truncate_to_end_line(file_name)
+        with open(file_name, encoding="utf-8") as f:
+            header = f.readline()
+        names = header.lstrip("#").split()
+        data = np.loadtxt(file_name, ndmin=2)
+        if data.size == 0:
+            return
+        if names != self.columns:
+            raise LoggedError(
+                self.log,
+                "Chain file columns %s do not match expected %s",
+                names, self.columns,
+            )
+        self.append_rows(data)
+
+    @classmethod
+    def load(cls, file_name: str, name=None,
+             temperature: float = 1.0) -> "SampleCollection":
+        """Load a chain txt file, inferring the column roles from the header."""
+        with open(file_name, encoding="utf-8") as f:
+            header = f.readline()
+        names = header.lstrip("#").split()
+        iw = names.index(cv.OUT_WEIGHT)
+        imlp = names.index(cv.OUT_MINUSLOGPOST)
+        imlprior = names.index(cv.OUT_MINUSLOGPRIOR)
+        ichi2 = names.index(cv.OUT_CHI2)
+        sampled_and_derived = names[imlp + 1:imlprior]
+        prior_names = [
+            n[len(cv.OUT_MINUSLOGPRIOR + cv.SEPARATOR):]
+            for n in names[imlprior + 1:ichi2]
+        ]
+        like_names = [cv.undo_chi2_name(n) for n in names[ichi2 + 1:]]
+        # sampled vs derived split is not recorded in the file: treat all as
+        # sampled (callers with a model use the model-aware constructor)
+        out = cls(
+            name=name, sampled_params=sampled_and_derived, derived_params=[],
+            prior_names=prior_names, like_names=like_names,
+            temperature=temperature,
+        )
+        out._load_file(file_name)
+        return out
+
+    def to_getdist(self, label=None):
+        """Export as a getdist MCSamples (optional dependency)."""
+        try:
+            from getdist import MCSamples
+        except ImportError as exc:
+            raise LoggedError(
+                self.log, "getdist is not installed: %s", exc
+            ) from exc
+        names = self.sampled_params + self.derived_params
+        i0 = 2
+        return MCSamples(
+            samples=self.data[:, i0:i0 + len(names)],
+            weights=self._detempered_weights(slice(0, self._n)),
+            loglikes=self.data[:, 1],
+            names=names,
+        )
+
+
+class OneSamplePoint:
+    """Lightweight current-point holder (reference collection.py:1334)."""
+
+    def __init__(self, model, output_thin: int = 1):
+        self.sampled_params = list(model.parameterization.sampled_params())
+        self.output_thin = output_thin
+        self._thin_count = 0
+        self.values = None
+        self.weight = 0
+        self.results = None
+
+    def add(self, values, results):
+        self.values = np.asarray(values)
+        self.results = results
+        self.weight = 1
+
+    def increase_weight(self, by: float = 1):
+        self.weight += by
+
+    def add_to_collection(self, collection: SampleCollection) -> bool:
+        self._thin_count += self.weight
+        if self._thin_count < self.output_thin:
+            return False
+        weight, self._thin_count = divmod(self._thin_count, self.output_thin)
+        collection.add(
+            self.values, derived=self.results.derived, weight=weight,
+            logpriors=self.results.logpriors, loglikes=self.results.loglikes,
+            logpost=self.results.logpost,
+        )
+        return True

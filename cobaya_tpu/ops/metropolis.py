@@ -1,0 +1,168 @@
+"""Vmapped blocked-Metropolis epoch kernel.
+
+The TPU-first replacement for the reference's per-point Python step loop
+(/root/reference/cobaya/samplers/mcmc/mcmc.py:451-748): an entire *epoch* of
+steps for thousands of independent walkers is one jitted two-level
+``lax.scan`` (outer scan emits a thinned record, inner scan advances ``thin``
+raw steps), with the proposal covariance, block schedule and RNG state as
+explicit inputs so learned-proposal updates never trigger recompilation.
+
+Acceptance follows the reference Metropolis rule (mcmc.py:670): accept if the
+tempered log-posterior improves, or with probability
+``exp(-(logp_cur - logp_trial)/T)`` via a standard-exponential draw.
+Rejection bookkeeping (per-walker weights = repeat counts, non-prior
+rejection streaks for stuck-chain detection) is carried in the state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+from . import moments as mom_ops
+from .moments import Moments
+
+
+class MCMCCarry(NamedTuple):
+    """Per-walker scan state; every leaf has leading dim = n_chains."""
+
+    key: Any  # (C,) PRNG keys
+    x: Any  # (C, d)
+    logpost: Any  # (C,) tempered log-posterior
+    logpriors: Any  # (C, n_priors)
+    loglikes: Any  # (C, n_likes)
+    derived: Any  # (C, n_derived)
+    weight: Any  # (C,) repeats of the current point so far
+    n_accepted: Any  # (C,) total accepted points
+    rejects_streak: Any  # (C,) consecutive non-prior rejections
+    mom: Moments  # per-walker running moments of x
+    mom_all: Moments  # moments since chain start (never reset)
+
+
+class EpochRecord(NamedTuple):
+    """Thinned per-record outputs, shapes (n_records, C, ...)."""
+
+    x: Any
+    logpost: Any
+    logpriors: Any
+    loglikes: Any
+    derived: Any
+    weight: Any
+
+
+def make_epoch_fn(
+    logpost_fn: Callable,
+    periodic_wrap: Callable | None,
+    temperature: float = 1.0,
+) -> Callable:
+    """Build the jittable epoch function.
+
+    ``logpost_fn(x) -> (logpost, logpriors, loglikes, derived)`` for a single
+    walker (vmapped internally).  Returns
+    ``epoch(carry, schedule, transforms, dir_mask, block_sizes, scale)
+    -> (carry, EpochRecord)`` where ``schedule`` has shape
+    ``(n_records, thin)`` of block indices.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .proposal import propose_jax
+
+    logpost_batch = jax.vmap(logpost_fn)
+    inv_T = 1.0 / float(temperature)
+
+    def tempered(logpriors, loglikes):
+        return jnp.sum(logpriors, -1) + inv_T * jnp.sum(loglikes, -1)
+
+    def one_step(carry: MCMCCarry, block_index, transforms, dir_mask,
+                 block_sizes, scale):
+        keys = jax.vmap(jax.random.split, in_axes=(0, None))(carry.key, 3)
+        key_next, k_prop, k_acc = keys[:, 0], keys[:, 1], keys[:, 2]
+        trial = jax.vmap(
+            propose_jax, in_axes=(0, 0, None, None, None, None, None)
+        )(k_prop, carry.x, block_index, transforms, dir_mask, block_sizes,
+          scale)
+        if periodic_wrap is not None:
+            trial = periodic_wrap(trial)
+        lp_t, lpri_t, llik_t, der_t = logpost_batch(trial)
+        tlp_t = tempered(lpri_t, llik_t)
+        tlp_c = carry.logpost
+        # prior rejection: trial outside prior support
+        prior_ok = jnp.isfinite(jnp.sum(lpri_t, -1))
+        expdraw = jax.vmap(jax.random.exponential)(k_acc)
+        accept = prior_ok & jnp.isfinite(tlp_t) & (
+            (tlp_t > tlp_c) | (expdraw > (tlp_c - tlp_t))
+        )
+        acc1 = accept[:, None]
+
+        def sel(new, old):
+            mask = accept.reshape(accept.shape + (1,) * (new.ndim - 1))
+            return jnp.where(mask, new, old)
+
+        new_x = sel(trial, carry.x)
+        new_carry = MCMCCarry(
+            key=key_next,
+            x=new_x,
+            logpost=jnp.where(accept, tlp_t, tlp_c),
+            logpriors=sel(lpri_t, carry.logpriors),
+            loglikes=sel(llik_t, carry.loglikes),
+            derived=sel(der_t, carry.derived),
+            weight=jnp.where(accept, 1.0, carry.weight + 1.0),
+            n_accepted=carry.n_accepted + accept,
+            rejects_streak=jnp.where(
+                accept, 0, carry.rejects_streak + prior_ok
+            ),
+            mom=mom_ops.update(carry.mom, new_x),
+            mom_all=mom_ops.update(carry.mom_all, new_x),
+        )
+        return new_carry
+
+    def epoch(carry: MCMCCarry, schedule, transforms, dir_mask, block_sizes,
+              scale):
+        def outer_step(carry, block_indices_thin):
+            def inner_step(c, b):
+                return one_step(c, b, transforms, dir_mask, block_sizes,
+                                scale), None
+
+            carry, _ = jax.lax.scan(inner_step, carry, block_indices_thin)
+            rec = EpochRecord(
+                x=carry.x,
+                logpost=carry.logpost,
+                logpriors=carry.logpriors,
+                loglikes=carry.loglikes,
+                derived=carry.derived,
+                weight=carry.weight,
+            )
+            return carry, rec
+
+        return jax.lax.scan(outer_step, carry, schedule)
+
+    return epoch
+
+
+def init_carry(key, x0, logpost_fn, dtype=None) -> MCMCCarry:
+    """Initial carry from starting points ``x0`` of shape (C, d)."""
+    import jax
+    import jax.numpy as jnp
+
+    x0 = jnp.asarray(x0, dtype=dtype)
+    C = x0.shape[0]
+    keys = jax.random.split(key, C)
+    lp, lpri, llik, der = jax.vmap(logpost_fn)(x0)
+    return MCMCCarry(
+        key=keys,
+        x=x0,
+        logpost=jnp.sum(lpri, -1) + jnp.sum(llik, -1),
+        logpriors=lpri,
+        loglikes=llik,
+        derived=der,
+        weight=jnp.ones(C, x0.dtype),
+        n_accepted=jnp.zeros(C, jnp.int32),
+        rejects_streak=jnp.zeros(C, jnp.int32),
+        mom=mom_ops.init(x0),
+        mom_all=mom_ops.init(x0),
+    )
+
+
+def reset_moments(carry: MCMCCarry) -> MCMCCarry:
+    """Reset the per-epoch moment accumulators (anchored at current points)."""
+    return carry._replace(mom=mom_ops.init(carry.x))

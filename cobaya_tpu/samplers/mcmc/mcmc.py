@@ -1,0 +1,575 @@
+"""Adaptive blocked Metropolis MCMC over thousands of vmapped walkers.
+
+Capability parity with /root/reference/cobaya/samplers/mcmc/mcmc.py (the
+CosmoMC-style sampler of Lewis arXiv:1304.4473): blocked random-direction
+proposals in the Cholesky-rotated space with fast/slow oversampling, on-the-fly
+proposal-covariance learning gated by Gelman-Rubin R-1, dual convergence
+criteria (R-1 of means + R-1 of confidence-level bounds), tempered sampling,
+periodic-parameter wrapping, burn-in, stuck-chain detection, checkpointing
+with exact resume, and a ``.progress`` table.
+
+TPU-first architecture: instead of one chain per MPI rank exchanging
+covariances at learn points, a single host drives ``n_chains`` independent
+walkers as one batched device program.  Each *epoch* (``learn_every`` steps)
+is a single jitted two-level ``lax.scan``; per-walker running moments are
+accumulated on device and fetched once per epoch, so the host sees O(C d^2)
+bytes per epoch regardless of step count.  Cross-walker statistics replace
+cross-rank MPI allgathers; the R-1 diagnostic treats every walker as a chain.
+Proposal arrays (covariance transforms, block schedule) are scan inputs, so
+learning a new proposal never recompiles.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Optional, Union
+
+import numpy as np
+
+from ...io.collection import SampleCollection
+from ...ops import moments as mom_ops
+from ...ops.convergence import rminus1_cl_bounds, rminus1_of_moments
+from ...ops.metropolis import MCMCCarry, init_carry, make_epoch_fn, reset_moments
+from ...ops.proposal import build_blocked_proposal, make_block_schedule
+from ...utils import conventions as cv
+from ...utils.log import LoggedError
+from ...utils.tools import NumberWithUnits, read_dnumber
+from ..sampler import CovmatSampler
+
+
+class MCMC(CovmatSampler):
+    """Adaptive blocked Metropolis sampler (many-walker, jit-compiled)."""
+
+    file_base_name = "mcmc"
+
+    # typed option declarations (values from mcmc.yaml)
+    burn_in: Union[int, str]
+    max_tries: Union[int, str]
+    proposal_scale: float
+    output_every: Union[int, str]
+    learn_every: Union[int, str]
+    temperature: float
+    learn_proposal: bool
+    learn_proposal_Rminus1_max: float
+    learn_proposal_Rminus1_max_early: float
+    learn_proposal_Rminus1_min: float
+    max_samples: float
+    Rminus1_stop: float
+    Rminus1_cl_stop: float
+    Rminus1_cl_level: float
+    Rminus1_n_checks: int
+    Rminus1_single_split: int
+    measure_speeds: bool
+    oversample_power: float
+    oversample_thin: bool
+    drag: bool
+    blocking: Optional[list]
+    callback_function: Optional[Callable]
+    callback_every: Optional[int]
+    n_chains: int
+    records_per_epoch: int
+    output_chains: int
+    precision: str
+
+    supports_periodic_params = True
+
+    _at_resume_prefer_new = [
+        "max_samples", "max_tries", "output_every", "learn_every",
+        "callback_function", "callback_every", "Rminus1_stop",
+        "Rminus1_cl_stop", "Rminus1_cl_level", "learn_proposal",
+    ]
+    _at_resume_prefer_old = ["proposal_scale", "blocking", "covmat",
+                             "temperature", "n_chains"]
+
+    def initialize(self):
+        import jax
+        import jax.numpy as jnp
+
+        model = self.model
+        self.d = len(model.parameterization.sampled_params())
+        if self.d == 0:
+            raise LoggedError(self.log, "No sampled parameters!")
+        self._dtype = jnp.dtype(self.precision)
+        # resolve d-unit options
+        self._burn_in = read_dnumber(self.burn_in, self.d)
+        self._max_tries = read_dnumber(self.max_tries, self.d)
+        self._learn_every = max(read_dnumber(self.learn_every, self.d), 2)
+        self._output_every = NumberWithUnits(self.output_every, "s", dtype=float)
+        if self.temperature is None:
+            self.temperature = 1
+        # --- speeds & blocking ---------------------------------------------------
+        needs_speeds = any(
+            not getattr(c, "jittable", False) for c in model.components
+        )
+        if self.measure_speeds and needs_speeds:
+            model.measure_and_set_speeds(random_state=self.rng)
+        if self.blocking:
+            blocks, oversampling = model.check_blocking(self.blocking)
+        else:
+            blocks, oversampling = model.get_param_blocking_for_sampler(
+                oversample_power=self.oversample_power,
+                split_fast_slow=self.drag,
+            )
+        self._blocks = blocks
+        self._oversampling = np.asarray(oversampling, dtype=int)
+        sampled = list(model.parameterization.sampled_params())
+        self._block_indices = [
+            [sampled.index(p) for p in block] for block in blocks
+        ]
+        if self.drag and len(blocks) < 2:
+            self.mpi_warning("Dragging requested but there is only one "
+                             "block; disabling.")
+            self.drag = False
+        # --- initial covmat & proposal ----------------------------------------------
+        covmat = None
+        if self.output and self.output.is_resuming():
+            covmat = self.load_covmat_checkpoint()
+        if covmat is None:
+            covmat = self.initial_proposal_covmat()
+        self._set_proposal(covmat)
+        # --- compiled posterior ----------------------------------------------------
+        self._logpost_fn = model.make_logposterior_fn()
+        periodic, bounds = model.prior.periodic_params_bounds
+        wrap = model.prior.reduce_periodic if np.any(periodic) else None
+        self._epoch_fn = jax.jit(
+            make_epoch_fn(self._logpost_fn, wrap, self.temperature)
+        )
+        self._stats_fn = jax.jit(
+            lambda m: (m.count, mom_ops.mean(m), mom_ops.cov(m))
+        )
+        # --- state ----------------------------------------------------------------
+        self.n_steps = 0  # per-walker steps completed (post burn-in counting all)
+        self._epoch_summaries: list[tuple] = []  # (counts, means, covs) / epoch
+        self._records: list[dict] = []  # host copies of thinned records
+        self._progress: list[dict] = []
+        self.Rminus1_last = np.inf
+        self.Rminus1_cl_last = np.inf
+        self.converged = False
+        self._checks_passed = 0
+        self._accepted_prev = np.zeros(self.n_chains)
+        self._t_start = time.time()
+        self._t_last_print = 0.0
+        self._carry = None
+        if self.output and self.output.is_resuming():
+            self._try_resume()
+        if self._carry is None:
+            self._init_points()
+        # output collections (subset of walkers written as chain files)
+        self._collections = self._make_collections()
+        self.mpi_info(
+            "Sampling with %d walkers, %d params, %d block(s) %s, "
+            "oversampling %s, learn_every=%d steps.",
+            self.n_chains, self.d, len(blocks),
+            [len(b) for b in blocks], self._oversampling.tolist(),
+            self._learn_every,
+        )
+
+    # ------------------------------------------------------------------
+    def _set_proposal(self, covmat: np.ndarray):
+        import jax.numpy as jnp
+
+        self._proposal = build_blocked_proposal(
+            covmat, self._block_indices,
+            oversampling_factors=self._oversampling,
+            proposal_scale=self.proposal_scale,
+        )
+        self._prop_dev = (
+            jnp.asarray(self._proposal.transforms, self._dtype),
+            jnp.asarray(self._proposal.dir_mask, self._dtype),
+            jnp.asarray(self._proposal.block_sizes, jnp.int32),
+            jnp.asarray(self._proposal.scale, self._dtype),
+        )
+
+    def _init_points(self):
+        """Draw valid starting points for every walker (batched)."""
+        import jax
+        import jax.numpy as jnp
+
+        model = self.model
+        C = self.n_chains
+        eval_batch = jax.jit(jax.vmap(self._logpost_fn))
+        x = np.empty((C, self.d), dtype=self._dtype)
+        filled = 0
+        max_tries = max(100, 10 * self._max_tries // self.d)
+        for attempt in range(max_tries):
+            key = self.next_jax_key()
+            draw = np.asarray(
+                model.prior.reference_jax(key, (C,)), dtype=self._dtype
+            )
+            lp, *_ = eval_batch(jnp.asarray(draw))
+            ok = np.isfinite(np.asarray(lp))
+            take = min(int(ok.sum()), C - filled)
+            if take:
+                x[filled:filled + take] = draw[ok][:take]
+                filled += take
+            if filled >= C:
+                break
+        else:
+            raise LoggedError(
+                self.log,
+                "Could not find %d valid starting points after %d batched "
+                "tries. Check priors/likelihoods or provide better 'ref's.",
+                C, max_tries,
+            )
+        self.mpi_info("Initial points found for all %d walkers.", C)
+        carry = init_carry(self.next_jax_key(), x, self._logpost_fn,
+                           dtype=self._dtype)
+        if self.temperature != 1:
+            import jax.numpy as jnp
+
+            carry = carry._replace(
+                logpost=jnp.sum(carry.logpriors, -1)
+                + jnp.sum(carry.loglikes, -1) / self.temperature
+            )
+        self._carry = carry
+
+    def _make_collections(self):
+        n_out = min(self.output_chains, self.n_chains)
+        return [
+            SampleCollection(
+                self.model, self.output, name=str(i + 1),
+                resuming=bool(self.output and self.output.is_resuming()),
+                temperature=self.temperature,
+            )
+            for i in range(n_out)
+        ]
+
+    # ------------------------------------------------------------------
+    # main loop
+    # ------------------------------------------------------------------
+    def run(self):
+        """Sample until convergence (R-1 criteria) or max_samples."""
+        self.mpi_info("Sampling!")
+        import jax
+
+        # burn-in epochs (records discarded)
+        while self.n_steps < self._burn_in:
+            steps = min(self._learn_every, self._burn_in - self.n_steps)
+            self._run_epoch(steps, record=False)
+        while not self.converged and self.n_steps < self.max_samples:
+            self._run_epoch(self._learn_every, record=True)
+            self._check_convergence_and_learn_proposal()
+            self._write_checkpoint()
+            if self.callback_function and self.callback_every and (
+                len(self._progress) % self.callback_every == 0
+            ):
+                self.callback_function(self)
+        if self.converged:
+            self.mpi_info(
+                "Convergence reached: R-1 = %.4g (means), %.4g (CL bounds) "
+                "after %d steps/walker (%d total posterior evals).",
+                self.Rminus1_last, self.Rminus1_cl_last, self.n_steps,
+                self.n_steps * self.n_chains,
+            )
+        else:
+            self.mpi_warning(
+                "Stopped at max_samples=%s without convergence "
+                "(R-1 = %.4g).", self.max_samples, self.Rminus1_last,
+            )
+        self._flush_output(final=True)
+
+    def _run_epoch(self, n_steps: int, record: bool = True):
+        import jax
+        import jax.numpy as jnp
+
+        thin = max(1, int(np.ceil(n_steps / self.records_per_epoch)))
+        n_rec = max(1, n_steps // thin)
+        total = n_rec * thin
+        schedule = make_block_schedule(
+            self._proposal, total, self.rng
+        ).reshape(n_rec, thin)
+        carry = reset_moments(self._carry)
+        carry, recs = self._epoch_fn(
+            carry, jnp.asarray(schedule), *self._prop_dev
+        )
+        self._carry = carry
+        # one host fetch per epoch
+        counts, means, covs = (np.asarray(a) for a in
+                               self._stats_fn(carry.mom))
+        self.n_steps += total
+        if record:
+            self._epoch_summaries.append((counts, means, covs))
+            host_recs = {
+                "x": np.asarray(recs.x, np.float32),
+                "logpost": np.asarray(recs.logpost, np.float32),
+                "logpriors": np.asarray(recs.logpriors, np.float32),
+                "loglikes": np.asarray(recs.loglikes, np.float32),
+                "derived": np.asarray(recs.derived, np.float32),
+                "thin": thin,
+            }
+            self._records.append(host_recs)
+            self._append_to_collections(host_recs)
+        # stuck-walker detection
+        streak = int(np.max(np.asarray(carry.rejects_streak)))
+        if streak >= self._max_tries:
+            raise LoggedError(
+                self.log,
+                "Some walker has been stuck for %d non-prior-rejected tries "
+                "(max_tries=%d). The posterior may be too concentrated "
+                "relative to the proposal, or have unphysical regions. "
+                "Current worst point logpost=%.4g.",
+                streak, self._max_tries,
+                float(np.min(np.asarray(carry.logpost))),
+            )
+        # progress printing
+        now = time.time()
+        if now - self._t_last_print > self._output_every.value:
+            acc = np.asarray(carry.n_accepted)
+            rate = (acc - self._accepted_prev).mean() / total
+            self.mpi_info(
+                "%d steps/walker (%.2g posterior evals/s), acceptance %.3f, "
+                "R-1 %.4g", self.n_steps,
+                self.n_steps * self.n_chains / (now - self._t_start),
+                rate, self.Rminus1_last,
+            )
+            self._t_last_print = now
+        self._accepted_prev = np.asarray(carry.n_accepted).copy()
+
+    def _append_to_collections(self, recs: dict):
+        for i, coll in enumerate(self._collections):
+            coll.append_batch(
+                recs["x"][:, i], recs["logpost"][:, i],
+                recs["logpriors"][:, i], recs["loglikes"][:, i],
+                recs["derived"][:, i],
+                weights=np.full(len(recs["x"]), recs["thin"], float),
+            )
+
+    # ------------------------------------------------------------------
+    # convergence & proposal learning (reference mcmc.py:773-1032)
+    # ------------------------------------------------------------------
+    def _second_half_stats(self):
+        """Merge per-epoch per-chain moments over the second half of epochs."""
+        n_ep = len(self._epoch_summaries)
+        if n_ep == 0:
+            return None
+        use = self._epoch_summaries[n_ep // 2:]
+        counts = np.sum([u[0] for u in use], axis=0)  # (C,)
+        # weighted mean of means
+        means = np.zeros_like(use[0][1])
+        for c, m, _ in use:
+            means += c[:, None] * m
+        means /= np.maximum(counts, 1)[:, None]
+        covs = np.zeros_like(use[0][2])
+        for c, m, S in use:
+            dm = m - means
+            covs += (c[:, None, None] - 1) * S + c[:, None, None] * (
+                dm[:, :, None] * dm[:, None, :]
+            )
+        covs /= np.maximum(counts - 1, 1)[:, None, None]
+        return counts, means, covs
+
+    def _check_convergence_and_learn_proposal(self):
+        stats = self._second_half_stats()
+        if stats is None:
+            return
+        counts, means, covs = stats
+        self.Rminus1_last = rminus1_of_moments(counts, means, covs)
+        self.mpi_info(
+            "Convergence check: R-1(means) = %.4g (stop at %.3g) after %d "
+            "steps/walker.", self.Rminus1_last, self.Rminus1_stop,
+            self.n_steps,
+        )
+        converged_means = self.Rminus1_last < self.Rminus1_stop
+        if converged_means:
+            self.Rminus1_cl_last = self._check_cl_bounds()
+            self.mpi_info(
+                "Convergence check: R-1(%.0f%% bounds) = %.4g (stop at %.3g)",
+                100 * self.Rminus1_cl_level, self.Rminus1_cl_last,
+                self.Rminus1_cl_stop,
+            )
+            if self.Rminus1_cl_last < self.Rminus1_cl_stop:
+                self._checks_passed += 1
+            else:
+                self._checks_passed = 0
+        else:
+            self._checks_passed = 0
+        if self._checks_passed >= max(self.Rminus1_n_checks - 1, 1):
+            self.converged = True
+        # proposal learning
+        early = len(self._epoch_summaries) <= 2
+        rmax = (self.learn_proposal_Rminus1_max_early if early
+                else self.learn_proposal_Rminus1_max)
+        if (
+            self.learn_proposal and not self.converged
+            and self.learn_proposal_Rminus1_min < self.Rminus1_last < rmax
+        ):
+            w = counts / counts.sum()
+            mean_of_covs = np.einsum("c,cij->ij", w, covs)
+            try:
+                self._set_proposal(mean_of_covs)
+                self.mpi_info("Updated proposal covariance from walker "
+                              "statistics.")
+            except LoggedError:
+                self.mpi_warning(
+                    "Learned covariance not positive-definite; keeping the "
+                    "previous proposal."
+                )
+        self._progress.append({
+            "N": self.n_steps,
+            "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "acceptance_rate": float(
+                np.mean(np.asarray(self._carry.n_accepted)) / max(self.n_steps, 1)
+            ),
+            "Rminus1": float(self.Rminus1_last),
+            "Rminus1_cl": float(self.Rminus1_cl_last),
+        })
+
+    def _check_cl_bounds(self) -> float:
+        """Secondary R-1: spread of CL bounds across walkers (on records)."""
+        n_ep = len(self._records)
+        if n_ep == 0:
+            return np.inf
+        use = self._records[n_ep // 2:]
+        xs = np.concatenate([r["x"] for r in use], axis=0)  # (n, C, d)
+        xs = np.swapaxes(xs, 0, 1)  # (C, n, d)
+        # subsample walkers for the quantile cost
+        C = xs.shape[0]
+        take = min(C, 64)
+        idx = self.rng.choice(C, take, replace=False)
+        per_param = rminus1_cl_bounds(
+            xs[idx], None, confidence=self.Rminus1_cl_level
+        )
+        return float(per_param.max())
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume / products
+    # ------------------------------------------------------------------
+    def _write_checkpoint(self):
+        if not self.output:
+            return
+        self.write_checkpoint_info({
+            "converged": bool(self.converged),
+            "Rminus1_last": float(self.Rminus1_last),
+            "Rminus1_cl_last": float(self.Rminus1_cl_last),
+            "burn_in": 0 if self.n_steps >= self._burn_in else self._burn_in,
+            "mpi_size": 1,
+            "n_chains": self.n_chains,
+            "n_steps": self.n_steps,
+            "checks_passed": self._checks_passed,
+        })
+        self.dump_covmat(self._proposal.covmat)
+        # progress table
+        if self.progress_filename:
+            with open(self.progress_filename, "w", encoding="utf-8") as f:
+                f.write("# N  timestamp  acceptance_rate  Rminus1  "
+                        "Rminus1_cl\n")
+                for row in self._progress:
+                    f.write(
+                        f"{row['N']} {row['timestamp'].replace(' ', 'T')} "
+                        f"{row['acceptance_rate']:.4f} {row['Rminus1']:.6g} "
+                        f"{row['Rminus1_cl']:.6g}\n"
+                    )
+        # exact device state for resume
+        if self.state_filename:
+            c = self._carry
+            np.savez(
+                self.state_filename,
+                key=np.asarray(
+                    __import__("jax").random.key_data(c.key)
+                ),
+                x=np.asarray(c.x), logpost=np.asarray(c.logpost),
+                logpriors=np.asarray(c.logpriors),
+                loglikes=np.asarray(c.loglikes),
+                derived=np.asarray(c.derived),
+                weight=np.asarray(c.weight),
+                n_accepted=np.asarray(c.n_accepted),
+                rejects_streak=np.asarray(c.rejects_streak),
+                n_steps=self.n_steps,
+                covmat=self._proposal.covmat,
+                ep_counts=np.stack([e[0] for e in self._epoch_summaries])
+                if self._epoch_summaries else np.zeros((0, self.n_chains)),
+                ep_means=np.stack([e[1] for e in self._epoch_summaries])
+                if self._epoch_summaries else
+                np.zeros((0, self.n_chains, self.d)),
+                ep_covs=np.stack([e[2] for e in self._epoch_summaries])
+                if self._epoch_summaries else
+                np.zeros((0, self.n_chains, self.d, self.d)),
+                seed_state=self.rng.bit_generator.state["state"]["state"],
+            )
+        self._flush_output()
+
+    def _flush_output(self, final: bool = False):
+        for coll in self._collections:
+            coll.out_update()
+
+    def _try_resume(self):
+        import os
+
+        import jax
+
+        fn = self.state_filename
+        if not fn or not os.path.exists(fn):
+            self.mpi_warning("Resume requested but no state file found; "
+                             "starting fresh.")
+            return
+        data = np.load(fn)
+        if data["x"].shape != (self.n_chains, self.d):
+            raise LoggedError(
+                self.log,
+                "Cannot resume: stored state has %s walkers x params, "
+                "requested (%d, %d).", data["x"].shape, self.n_chains, self.d,
+            )
+        import jax.numpy as jnp
+
+        x = jnp.asarray(data["x"], self._dtype)
+        carry = MCMCCarry(
+            key=jax.random.wrap_key_data(jnp.asarray(data["key"])),
+            x=x,
+            logpost=jnp.asarray(data["logpost"], self._dtype),
+            logpriors=jnp.asarray(data["logpriors"], self._dtype),
+            loglikes=jnp.asarray(data["loglikes"], self._dtype),
+            derived=jnp.asarray(data["derived"], self._dtype),
+            weight=jnp.asarray(data["weight"], self._dtype),
+            n_accepted=jnp.asarray(data["n_accepted"], jnp.int32),
+            rejects_streak=jnp.asarray(data["rejects_streak"], jnp.int32),
+            mom=mom_ops.init(x),
+            mom_all=mom_ops.init(x),
+        )
+        self._carry = carry
+        self.n_steps = int(data["n_steps"])
+        self._epoch_summaries = [
+            (data["ep_counts"][i], data["ep_means"][i], data["ep_covs"][i])
+            for i in range(len(data["ep_counts"]))
+        ]
+        checkpoint = self.read_checkpoint_info() or {}
+        self._checks_passed = int(checkpoint.get("checks_passed", 0))
+        self.Rminus1_last = float(checkpoint.get("Rminus1_last", np.inf))
+        self._set_proposal(np.atleast_2d(data["covmat"]))
+        self.mpi_info("Resumed at %d steps/walker.", self.n_steps)
+
+    def products(self, combined: bool = False, skip_samples: float = 0,
+                 to_getdist: bool = False) -> dict:
+        """Return samples (all walkers, in-memory) + progress info."""
+        sample = self.samples_all(skip=skip_samples)
+        if to_getdist:
+            sample = sample.to_getdist()
+        return {
+            "sample": sample,
+            "progress": list(self._progress),
+            "collections": self._collections,
+        }
+
+    def samples_all(self, skip: float = 0) -> SampleCollection:
+        """One combined collection over all walkers' thinned records."""
+        coll = SampleCollection(self.model, None, name="combined",
+                                temperature=self.temperature)
+        n_ep = len(self._records)
+        first_ep = int(skip * n_ep) if 0 < skip < 1 else 0
+        for r in self._records[first_ep:]:
+            n_rec, C = r["x"].shape[:2]
+            flat = lambda a: a.reshape((n_rec * C,) + a.shape[2:])
+            coll.append_batch(
+                flat(r["x"]), flat(r["logpost"]), flat(r["logpriors"]),
+                flat(r["loglikes"]), flat(r["derived"]),
+                weights=np.full(n_rec * C, r["thin"], float), rle=False,
+            )
+        return coll
+
+    @classmethod
+    def output_files_regexps(cls, output, info=None, minimal=False):
+        regexps = [output.collection_regexp()]
+        if not minimal:
+            for ext in (cv.Extension.checkpoint, cv.Extension.progress,
+                        cv.Extension.covmat):
+                regexps.append(None)
+        return regexps
