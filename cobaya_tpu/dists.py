@@ -73,6 +73,8 @@ class Dist1D:
 
     # ---- host-side ops -----------------------------------------------------
     def support(self) -> tuple[float, float]:
+        if self.name == "uniform" and self.scale == 0:
+            return self.loc, self.loc  # delta distribution
         lo, hi = self.scipy_dist.support()
         return float(lo), float(hi)
 

@@ -216,11 +216,11 @@ class SampleCollection(BaseCollection):
         w = self.data[sl, 0]
         if self.temperature == 1:
             return w
-        mlp = self.data[sl, 1]
-        # p(x)^1 weights from a chain of p^(1/T): w * p^(1 - 1/T)
-        logp = -mlp
-        shift = logp.max()
-        return w * np.exp((1 - 1 / self.temperature) * (logp - shift))
+        # chain samples prior * L^(1/T); true-posterior importance weights are
+        # L^(1 - 1/T) with logL = -chi2/2 (reference collection.py:688-764)
+        loglike = -0.5 * self.data[sl, self._icol(cv.OUT_CHI2)]
+        shift = loglike.max()
+        return w * np.exp((1 - 1 / self.temperature) * (loglike - shift))
 
     def mean(self, first=None, last=None, derived: bool = False,
              pweight: bool = False) -> np.ndarray:

@@ -1,14 +1,13 @@
 """Test configuration: force the CPU backend with a virtual 8-device mesh.
 
-The container's sitecustomize registers a remote-TPU ("axon") PJRT backend in
-every interpreter when PALLAS_AXON_POOL_IPS is set, and JAX_PLATFORMS=axon is
-exported globally; blanking both before jax import selects the in-process CPU
-backend (fast, supports --xla_force_host_platform_device_count for multi-chip
-sharding tests).
+The container's sitecustomize imports jax and registers a remote-TPU ("axon")
+PJRT backend at interpreter startup, with JAX_PLATFORMS=axon exported
+globally.  JAX backends initialize lazily, so overriding jax_platforms (and
+the XLA host-device-count flag) here — before any test touches a device —
+reliably selects an 8-virtual-device CPU backend.
 """
 
 import os
-import sys
 
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -17,11 +16,16 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-assert "jax" not in sys.modules, (
-    "jax imported before conftest set the platform env vars"
-)
-
 os.environ.setdefault("COBAYA_TPU_STRICT_TYPES", "1")
+
+import jax  # noqa: E402
+
+from jax._src import xla_bridge  # noqa: E402
+
+assert not xla_bridge._backends, (
+    "a JAX backend was initialized before conftest could select CPU"
+)
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,107 @@
+"""SampleCollection: stats, RLE, txt round-trip, thin/skip, temperature."""
+
+import numpy as np
+import pytest
+
+from cobaya_tpu.io.collection import SampleCollection
+
+
+def make_coll(**kw):
+    return SampleCollection(
+        sampled_params=["a", "b"], derived_params=["d"],
+        prior_names=["0"], like_names=["like"], **kw,
+    )
+
+
+def fill(coll, n=100, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, 2))
+    loglikes = -0.5 * (x**2).sum(1, keepdims=True)
+    logpriors = np.full((n, 1), -1.0)
+    derived = x.sum(1, keepdims=True)
+    logpost = loglikes.sum(1) + logpriors.sum(1)
+    coll.append_batch(x, logpost, logpriors, loglikes, derived, rle=False)
+    return x
+
+
+def test_columns_schema():
+    coll = make_coll()
+    assert coll.columns == [
+        "weight", "minuslogpost", "a", "b", "d",
+        "minuslogprior", "minuslogprior__0", "chi2", "chi2__like",
+    ]
+
+
+def test_weighted_stats():
+    coll = make_coll()
+    x = fill(coll, 500)
+    assert np.allclose(coll.mean(), x.mean(0), atol=1e-10)
+    assert np.allclose(coll.cov(), np.cov(x.T), atol=1e-8)
+    # derived included
+    mu_d = coll.mean(derived=True)
+    assert len(mu_d) == 3
+    # second half
+    mu2 = coll.mean(first=0.5)
+    assert np.allclose(mu2, x[250:].mean(0), atol=1e-10)
+
+
+def test_rle_weights():
+    coll = make_coll()
+    x = np.array([[1., 1.], [1., 1.], [2., 2.], [1., 1.]])
+    loglikes = np.zeros((4, 1))
+    logpriors = np.zeros((4, 1))
+    derived = np.zeros((4, 1))
+    coll.append_batch(x, np.zeros(4), logpriors, loglikes, derived, rle=True)
+    assert len(coll) == 3
+    assert list(coll.weights) == [2.0, 1.0, 1.0]
+
+
+def test_txt_roundtrip(tmp_path):
+    f = str(tmp_path / "chain.1.txt")
+    coll = make_coll(file_name=f)
+    fill(coll, 50)
+    coll.out_update()
+    # appending flushes only the new rows
+    fill(coll, 25, seed=1)
+    coll.out_update()
+    loaded = SampleCollection.load(f)
+    assert len(loaded) == 75
+    assert np.allclose(loaded.data, coll.data, rtol=1e-7)
+
+
+def test_skip_thin():
+    coll = make_coll()
+    fill(coll, 100)
+    assert len(coll.skip_samples(0.25)) == 75
+    thinned = coll.thin_samples(4)
+    assert np.isclose(thinned.weights.sum(), 25)
+
+
+def test_bestfit_map():
+    coll = make_coll()
+    fill(coll, 100)
+    best = coll.bestfit()
+    assert best[coll._icol("chi2")] == coll["chi2"].min()
+    m = coll.MAP()
+    assert m[1] == coll["minuslogpost"].min()
+
+
+def test_detempering():
+    coll = make_coll(temperature=2.0)
+    x = fill(coll, 2000, seed=3)
+    # detempered weights proportional to L^(1/2)
+    w_det = coll._detempered_weights(slice(0, len(coll)))
+    loglike = -0.5 * coll["chi2"]
+    expected = np.exp(0.5 * (loglike - loglike.max()))
+    assert np.allclose(w_det, expected)
+    coll2 = coll.detempered_copy()
+    assert coll2.temperature == 1
+    assert np.allclose(coll2.weights, expected)
+
+
+def test_reweight():
+    coll = make_coll()
+    fill(coll, 100)
+    new = coll.reweight(np.linspace(0, 1, 100))
+    assert len(new) == 99  # zero-weight row dropped
+    assert len(coll) == 100  # original untouched

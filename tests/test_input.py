@@ -1,0 +1,92 @@
+"""Input pipeline: yaml tags, defaults merging, update_info, resume diff."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cobaya_tpu.models.input_ import (
+    is_equal_info,
+    load_input_dict,
+    merge_params_info,
+    update_info,
+)
+from cobaya_tpu.utils.yamlio import yaml_dump, yaml_load, yaml_load_file
+from cobaya_tpu.utils.log import LoggedError
+
+
+def test_yaml_scientific_floats():
+    d = yaml_load("a: 1e5\nb: -2E-3\nc: 1.5e2")
+    assert d == {"a": 1e5, "b": -2e-3, "c": 150.0}
+    assert all(isinstance(v, float) for v in d.values())
+
+
+def test_yaml_duplicate_keys_error():
+    with pytest.raises(LoggedError):
+        yaml_load("a: 1\na: 2")
+
+
+def test_yaml_defaults_tag(tmp_path):
+    base = tmp_path / "base.yaml"
+    base.write_text("x: 1\ny: 2\n")
+    main = tmp_path / "main.yaml"
+    main.write_text("defaults: !defaults [base]\nz: 3\n")
+    d = yaml_load_file(str(main))
+    assert d["defaults"] == {"x": 1, "y": 2}
+    assert d["z"] == 3
+
+
+def test_yaml_dump_numpy():
+    out = yaml_dump({"a": np.float64(1.5), "b": np.array([1, 2]),
+                     "c": (1, 2)})
+    back = yaml_load(out)
+    assert back == {"a": 1.5, "b": [1, 2], "c": [1, 2]}
+
+
+def test_update_info_merges_defaults():
+    info = {
+        "likelihood": {"gaussian_mixture": {
+            "means": [0.0], "covs": [[1.0]]}},
+        "params": {"a_0": {"prior": [0, 1]}},
+        "sampler": {"mcmc": None},
+    }
+    upd = update_info(info)
+    gm = upd["likelihood"]["gaussian_mixture"]
+    assert gm["derived"] is False  # from gaussian_mixture.yaml defaults
+    assert gm["means"] == [0.0]  # user value kept
+    mcmc = upd["sampler"]["mcmc"]
+    assert mcmc["proposal_scale"] == 2.4
+    assert mcmc["learn_every"] == "40d"
+
+
+def test_update_info_unknown_component():
+    with pytest.raises(LoggedError):
+        update_info({"likelihood": {"gaussian_mixtrue": None},
+                     "params": {}})
+
+
+def test_merge_params_info():
+    base = {"a": {"prior": [0, 1], "latex": "\\alpha"}}
+    # re-specifying the prior keeps cosmetic keys
+    out = merge_params_info(base, {"a": {"prior": [0, 2]}})
+    assert out["a"]["prior"] == [0, 2]
+    assert out["a"]["latex"] == "\\alpha"
+    # fixing a sampled param drops its prior
+    out = merge_params_info(base, {"a": 0.5})
+    assert "prior" not in out["a"]
+
+
+def test_is_equal_info():
+    a = {"params": {"x": {"prior": [0, 1]}},
+         "likelihood": {"one": {"noise": 0}}, "output": "foo"}
+    b = {"params": {"x": {"prior": [0, 1]}},
+         "likelihood": {"one": {"noise": 0}}, "output": "bar"}
+    assert is_equal_info(a, b)  # output ignored
+    c = {"params": {"x": {"prior": [0, 2]}},
+         "likelihood": {"one": {"noise": 0}}}
+    assert not is_equal_info(a, c)
+
+
+def test_load_input_dict_yaml_string():
+    d = load_input_dict("params:\n  x:\n    prior: [0, 1]\n")
+    assert d["params"]["x"]["prior"] == [0, 1]

@@ -1,0 +1,145 @@
+"""MCMC sampler: accuracy, adaptation, checkpoint/resume, output files."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cobaya_tpu.run import run
+
+from common import check_gaussian, random_gaussian_info
+
+
+def test_mcmc_gaussian_accuracy():
+    info = random_gaussian_info(dim=3, random_state=7)
+    info["sampler"] = {"mcmc": {"seed": 3, "n_chains": 128,
+                                "max_samples": 50000}}
+    _, sampler = run(info)
+    # discard the pre-convergence transient (reference harness uses
+    # skip_samples=0.5, common_sampler.py:114)
+    kl = check_gaussian(info, sampler.products(skip_samples=0.5)["sample"])
+    assert sampler.converged
+    assert kl < 0.07
+
+
+def test_mcmc_derived_and_chi2_in_chain():
+    info = random_gaussian_info(dim=2, random_state=11, derived=True)
+    info["sampler"] = {"mcmc": {"seed": 5, "n_chains": 64,
+                                "max_samples": 20000,
+                                "Rminus1_stop": 0.05,
+                                "Rminus1_cl_stop": 0.5}}
+    _, sampler = run(info)
+    sample = sampler.products()["sample"]
+    # derived params are the standardized residuals: check one row exactly
+    like = info["likelihood"]["gaussian_mixture"]
+    mean = np.asarray(like["means"][0])
+    cov = np.asarray(like["covs"][0])
+    from cobaya_tpu.utils.tools import inverse_cholesky
+
+    invL = inverse_cholesky(cov)
+    row = sample.data[10]
+    x = row[2:4]
+    derived = row[4:6]
+    assert np.allclose(derived, invL @ (x - mean), atol=1e-4)
+    # chi2 column equals -2 loglike
+    from scipy.stats import multivariate_normal
+
+    chi2_col = sample[f"chi2__gaussian_mixture"][10]
+    expected = -2 * multivariate_normal(mean, cov).logpdf(x)
+    assert np.isclose(chi2_col, expected, atol=1e-3)
+
+
+def test_mcmc_output_and_resume(tmp_path):
+    prefix = str(tmp_path / "chains" / "gauss")
+    info = random_gaussian_info(dim=2, random_state=13)
+    info["output"] = prefix
+    info["sampler"] = {"mcmc": {"seed": 7, "n_chains": 32,
+                                "max_samples": 300,
+                                "output_chains": 2}}
+    _, sampler = run(info)
+    assert not sampler.converged  # max_samples hit
+    n_first = sampler.n_steps
+    assert os.path.exists(prefix + ".input.yaml")
+    assert os.path.exists(prefix + ".updated.yaml")
+    assert os.path.exists(prefix + ".1.txt")
+    assert os.path.exists(prefix + ".mcmc.state.npz")
+    assert os.path.exists(prefix + ".mcmc.checkpoint")
+    assert os.path.exists(prefix + ".mcmc.covmat")
+    # chain file round-trips
+    from cobaya_tpu.io.collection import SampleCollection
+
+    loaded = SampleCollection.load(prefix + ".1.txt")
+    assert len(loaded) > 0
+    # resume continues from stored state
+    info["sampler"]["mcmc"]["max_samples"] = 600
+    _, sampler2 = run(info, resume=True)
+    assert sampler2.n_steps > n_first
+
+
+def test_mcmc_force_overwrites(tmp_path):
+    prefix = str(tmp_path / "chains" / "g2")
+    info = random_gaussian_info(dim=2, random_state=17)
+    info["output"] = prefix
+    info["sampler"] = {"mcmc": {"seed": 7, "n_chains": 16,
+                                "max_samples": 100}}
+    run(info)
+    # rerunning without resume/force fails
+    from cobaya_tpu.utils.log import LoggedError
+
+    with pytest.raises(LoggedError):
+        run(info)
+    run(info, force=True)  # succeeds
+
+
+def test_mcmc_seed_reproducible():
+    info = random_gaussian_info(dim=2, random_state=19)
+    info["sampler"] = {"mcmc": {"seed": 42, "n_chains": 16,
+                                "max_samples": 200}}
+    _, s1 = run(info)
+    _, s2 = run(info)
+    m1 = s1.products()["sample"].mean()
+    m2 = s2.products()["sample"].mean()
+    assert np.allclose(m1, m2)
+
+
+def test_mcmc_periodic_param():
+    """Posterior on a periodic parameter wraps correctly."""
+    info = {
+        "params": {"phi": {"prior": [0, 1], "periodic": True}},
+        "likelihood": {
+            "wrapgauss": {
+                # bimodal at the seam: peak at phi=0 == phi=1
+                "external": lambda phi: -0.5 * (
+                    np.minimum(phi, 1 - phi) / 0.05) ** 2,
+                "input_params": ["phi"],
+            }
+        },
+        "sampler": {"mcmc": {"seed": 2, "n_chains": 64, "max_samples": 4000,
+                             "Rminus1_stop": 0.1, "Rminus1_cl_stop": 1.0}},
+    }
+    import jax.numpy as jnp
+
+    info["likelihood"]["wrapgauss"]["external"] = (
+        lambda phi: -0.5 * (jnp.minimum(phi, 1 - phi) / 0.05) ** 2
+    )
+    _, sampler = run(info)
+    sample = sampler.products()["sample"]
+    phi = sample["phi"]
+    w = sample.weights
+    # mass concentrated near the seam
+    near = ((phi < 0.2) | (phi > 0.8))
+    assert (w * near).sum() / w.sum() > 0.95
+
+
+def test_mcmc_temperature():
+    """Tempered chain detempered reproduces the posterior moments."""
+    info = random_gaussian_info(dim=2, random_state=23)
+    info["sampler"] = {"mcmc": {"seed": 9, "n_chains": 128,
+                                "temperature": 2,
+                                "max_samples": 30000,
+                                "Rminus1_stop": 0.02,
+                                "Rminus1_cl_stop": 0.4}}
+    _, sampler = run(info)
+    sample = sampler.products()["sample"]
+    assert sample.temperature == 2
+    check_gaussian(info, sample, tol=0.1)
