@@ -1,0 +1,135 @@
+"""Benchmark: ESS/sec on the BASELINE 50-D correlated-Gaussian posterior.
+
+Runs the flagship adaptive blocked-Metropolis MCMC (1024 vmapped walkers) to
+R-1 < 0.01 on the default JAX backend (the real TPU chip under the driver),
+computes the effective sample size of the post-burn-in stored samples via
+per-walker autocorrelation, and prints ONE JSON line comparing against the
+reference (cobaya) single-node CPU baseline measured by
+scripts/measure_reference_baseline.py (stored in bench_baseline.json).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+REFERENCE_ESS_PER_S = 23.9  # measured: scripts/measure_reference_baseline.py
+_baseline_file = os.path.join(os.path.dirname(__file__),
+                              "bench_baseline.json")
+if os.path.exists(_baseline_file):
+    with open(_baseline_file) as f:
+        REFERENCE_ESS_PER_S = json.load(f)["ess_per_s"]
+
+
+def build_info(dim=50, n_chains=1024):
+    rng = np.random.default_rng(0)
+    q, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+    eigs = np.geomspace(0.01, 1.0, dim)
+    cov = (q * eigs) @ q.T
+    cov = (cov + cov.T) / 2
+    info = {
+        "params": {
+            f"x{i}": {"prior": {"dist": "norm", "loc": 0, "scale": 3},
+                      "ref": 0.0}
+            for i in range(dim)
+        },
+        "likelihood": {
+            "gaussian_mixture": {
+                "means": [np.zeros(dim).tolist()],
+                "covs": [cov.tolist()],
+                "input_params_prefix": "x",
+            }
+        },
+        "sampler": {
+            "mcmc": {
+                "seed": 1,
+                "n_chains": n_chains,
+                "covmat": cov,
+                "covmat_params": [f"x{i}" for i in range(dim)],
+                "Rminus1_stop": 0.01,
+                # match the baseline-measurement conditions (CL test off)
+                "Rminus1_cl_stop": 1e6,
+                "learn_every": "40d",
+                "records_per_epoch": 64,
+                "max_samples": 200000,
+            }
+        },
+    }
+    return info, cov
+
+
+def multichain_ess(records, burn_frac=0.5):
+    """ESS of the thinned stored samples: per-walker autocorrelation time.
+
+    records: list of per-epoch dicts with 'x' of shape (n_rec, C, d) and
+    'thin'.  Uses the second half of epochs, Geyer initial-positive-sequence
+    truncation, median over dimensions, mean over a walker subsample.
+    """
+    n_ep = len(records)
+    use = records[int(burn_frac * n_ep):]
+    xs = np.concatenate([r["x"] for r in use], axis=0)  # (n, C, d)
+    n, C, d = xs.shape
+    sub = min(C, 64)
+    idx = np.linspace(0, C - 1, sub).astype(int)
+    taus = []
+    for c in idx:
+        v = xs[:, c, :] - xs[:, c, :].mean(0)
+        f = np.fft.rfft(v, 2 * n, axis=0)
+        acf = np.fft.irfft(f * np.conj(f), axis=0)[:n]
+        acf /= np.maximum(acf[0], 1e-30)
+        tau_d = np.ones(d)
+        for j in range(d):
+            t = 1.0
+            for k in range(1, n - 1, 2):
+                pair = acf[k, j] + acf[k + 1, j]
+                if pair < 0:
+                    break
+                t += 2 * pair
+            tau_d[j] = t
+        taus.append(np.median(tau_d))
+    tau = float(np.mean(taus))
+    ess = n * C / tau
+    return ess, tau
+
+
+def main():
+    t_setup = time.time()
+    from cobaya_tpu.run import run
+
+    import jax
+
+    info, cov = build_info()
+    n_dev = len(jax.devices())
+    t0 = time.time()
+    _, sampler = run(info)
+    t_run = time.time() - t0
+    ess, tau = multichain_ess(sampler._records)
+    # ESS accrues over the post-burn half of the run
+    ess_per_s = ess / (t_run / 2)
+    vs = ess_per_s / REFERENCE_ESS_PER_S
+    result = {
+        "metric": "ESS/sec, 50-D correlated Gaussian adaptive MCMC to R-1<0.01",
+        "value": round(ess_per_s, 2),
+        "unit": "effective samples/s",
+        "vs_baseline": round(vs, 2),
+    }
+    print(json.dumps(result))
+    # extra diagnostics to stderr (driver reads only the stdout JSON line)
+    print(
+        f"[bench] devices={n_dev} wall={t_run:.1f}s steps/walker="
+        f"{sampler.n_steps} evals={sampler.n_steps * sampler.n_chains} "
+        f"evals/s={sampler.n_steps * sampler.n_chains / t_run:.3g} "
+        f"R-1={sampler.Rminus1_last:.4g} ESS={ess:.0f} tau(rec)={tau:.2f} "
+        f"converged={sampler.converged} "
+        f"baseline_ess/s={REFERENCE_ESS_PER_S}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

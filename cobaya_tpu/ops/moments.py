@@ -78,13 +78,11 @@ def merge(a: Moments, b: Moments) -> Moments:
     )
 
 
-def reduce_chains(m: Moments) -> Moments:
-    """Merge the chain axis (axis 0) into a single accumulator.
-
-    Re-anchors every chain's sums to the first chain's anchor before summing.
-    """
-    anchor0 = m.anchor[0]
-    shift = m.anchor - anchor0  # (C, d)
+def reanchor(m: Moments, new_anchor) -> Moments:
+    """Express the accumulated sums relative to a different anchor."""
+    new_anchor = jnp.broadcast_to(jnp.asarray(new_anchor, m.anchor.dtype),
+                                  m.anchor.shape)
+    shift = m.anchor - new_anchor
     s1 = m.s1 + m.count[..., None] * shift
     s2 = (
         m.s2
@@ -92,9 +90,21 @@ def reduce_chains(m: Moments) -> Moments:
         + shift[..., :, None] * m.s1[..., None, :]
         + m.count[..., None, None] * shift[..., :, None] * shift[..., None, :]
     )
+    return Moments(count=m.count, anchor=new_anchor, s1=s1, s2=s2)
+
+
+def reduce_chains(m: Moments, anchor=None) -> Moments:
+    """Merge the chain axis (axis 0) into a single accumulator.
+
+    ``anchor``: common anchor for the result (default: zeros — safe for
+    cross-device psum where each shard re-anchors independently).
+    """
+    if anchor is None:
+        anchor = jnp.zeros_like(m.anchor)
+    re = reanchor(m, anchor)
     return Moments(
-        count=m.count.sum(0),
-        anchor=anchor0,
-        s1=s1.sum(0),
-        s2=s2.sum(0),
+        count=re.count.sum(0),
+        anchor=re.anchor[0],
+        s1=re.s1.sum(0),
+        s2=re.s2.sum(0),
     )

@@ -90,6 +90,20 @@ class MCMC(CovmatSampler):
         if self.d == 0:
             raise LoggedError(self.log, "No sampled parameters!")
         self._dtype = jnp.dtype(self.precision)
+        # device mesh: shard walkers across all visible devices
+        n_dev = len(jax.devices())
+        self._mesh = None
+        if n_dev > 1:
+            from ...parallel.mesh import make_mesh, round_up_chains
+
+            new_C = round_up_chains(self.n_chains, n_dev)
+            if new_C != self.n_chains:
+                self.mpi_info(
+                    "Rounding n_chains %d -> %d (multiple of %d devices)",
+                    self.n_chains, new_C, n_dev,
+                )
+                self.n_chains = new_C
+            self._mesh = make_mesh()
         # resolve d-unit options
         self._burn_in = read_dnumber(self.burn_in, self.d)
         self._max_tries = read_dnumber(self.max_tries, self.d)
@@ -165,6 +179,14 @@ class MCMC(CovmatSampler):
         )
 
     # ------------------------------------------------------------------
+    def _shard(self, carry):
+        """Shard the walker state over the device mesh (no-op single-chip)."""
+        if self._mesh is None:
+            return carry
+        from ...parallel.mesh import shard_batch_pytree
+
+        return shard_batch_pytree(carry, self._mesh)
+
     def _set_proposal(self, covmat: np.ndarray):
         import jax.numpy as jnp
 
@@ -221,7 +243,7 @@ class MCMC(CovmatSampler):
                 logpost=jnp.sum(carry.logpriors, -1)
                 + jnp.sum(carry.loglikes, -1) / self.temperature
             )
-        self._carry = carry
+        self._carry = self._shard(carry)
 
     def _make_collections(self):
         n_out = min(self.output_chains, self.n_chains)
@@ -283,24 +305,30 @@ class MCMC(CovmatSampler):
             carry, jnp.asarray(schedule), *self._prop_dev
         )
         self._carry = carry
-        # one host fetch per epoch
-        counts, means, covs = (np.asarray(a) for a in
-                               self._stats_fn(carry.mom))
+        # ONE host fetch per epoch (the tunnel-TPU backend has ~1s/transfer
+        # latency, so everything the host needs is bundled into one get)
+        import jax
+
+        stats, recs_h, streak_dev, n_acc_dev = jax.device_get((
+            self._stats_fn(carry.mom), recs if record else None,
+            carry.rejects_streak, carry.n_accepted,
+        ))
+        counts, means, covs = (np.asarray(a) for a in stats)
         self.n_steps += total
         if record:
             self._epoch_summaries.append((counts, means, covs))
             host_recs = {
-                "x": np.asarray(recs.x, np.float32),
-                "logpost": np.asarray(recs.logpost, np.float32),
-                "logpriors": np.asarray(recs.logpriors, np.float32),
-                "loglikes": np.asarray(recs.loglikes, np.float32),
-                "derived": np.asarray(recs.derived, np.float32),
+                "x": np.asarray(recs_h.x, np.float32),
+                "logpost": np.asarray(recs_h.logpost, np.float32),
+                "logpriors": np.asarray(recs_h.logpriors, np.float32),
+                "loglikes": np.asarray(recs_h.loglikes, np.float32),
+                "derived": np.asarray(recs_h.derived, np.float32),
                 "thin": thin,
             }
             self._records.append(host_recs)
             self._append_to_collections(host_recs)
         # stuck-walker detection
-        streak = int(np.max(np.asarray(carry.rejects_streak)))
+        streak = int(np.max(streak_dev))
         if streak >= self._max_tries:
             raise LoggedError(
                 self.log,
@@ -313,17 +341,18 @@ class MCMC(CovmatSampler):
             )
         # progress printing
         now = time.time()
+        self._acceptance_rate = float(
+            (np.asarray(n_acc_dev) - self._accepted_prev).mean() / total
+        )
         if now - self._t_last_print > self._output_every.value:
-            acc = np.asarray(carry.n_accepted)
-            rate = (acc - self._accepted_prev).mean() / total
             self.mpi_info(
                 "%d steps/walker (%.2g posterior evals/s), acceptance %.3f, "
                 "R-1 %.4g", self.n_steps,
                 self.n_steps * self.n_chains / (now - self._t_start),
-                rate, self.Rminus1_last,
+                self._acceptance_rate, self.Rminus1_last,
             )
             self._t_last_print = now
-        self._accepted_prev = np.asarray(carry.n_accepted).copy()
+        self._accepted_prev = np.asarray(n_acc_dev).copy()
 
     def _append_to_collections(self, recs: dict):
         for i, coll in enumerate(self._collections):
@@ -408,7 +437,7 @@ class MCMC(CovmatSampler):
             "N": self.n_steps,
             "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
             "acceptance_rate": float(
-                np.mean(np.asarray(self._carry.n_accepted)) / max(self.n_steps, 1)
+                self._accepted_prev.mean() / max(self.n_steps, 1)
             ),
             "Rminus1": float(self.Rminus1_last),
             "Rminus1_cl": float(self.Rminus1_cl_last),
@@ -459,14 +488,16 @@ class MCMC(CovmatSampler):
                         f"{row['acceptance_rate']:.4f} {row['Rminus1']:.6g} "
                         f"{row['Rminus1_cl']:.6g}\n"
                     )
-        # exact device state for resume
+        # exact device state for resume (single bundled device transfer)
         if self.state_filename:
-            c = self._carry
+            import jax
+
+            c = jax.device_get(self._carry._replace(
+                key=jax.random.key_data(self._carry.key)
+            ))
             np.savez(
                 self.state_filename,
-                key=np.asarray(
-                    __import__("jax").random.key_data(c.key)
-                ),
+                key=np.asarray(c.key),
                 x=np.asarray(c.x), logpost=np.asarray(c.logpost),
                 logpriors=np.asarray(c.logpriors),
                 loglikes=np.asarray(c.loglikes),
@@ -525,7 +556,7 @@ class MCMC(CovmatSampler):
             mom=mom_ops.init(x),
             mom_all=mom_ops.init(x),
         )
-        self._carry = carry
+        self._carry = self._shard(carry)
         self.n_steps = int(data["n_steps"])
         self._epoch_summaries = [
             (data["ep_counts"][i], data["ep_means"][i], data["ep_covs"][i])
