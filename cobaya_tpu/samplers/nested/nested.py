@@ -1,0 +1,327 @@
+"""Nested sampler: native JAX reimplementation of PolyChord's capability.
+
+Capability parity with /root/reference/cobaya/samplers/polychord/polychord.py
+(which wraps external Fortran PolyChord): unit-hypercube prior scaling,
+likelihood-constrained slice sampling with ``num_repeats`` passes, evidence
+``logZ +/- logZstd`` (information-based error), posterior-weighted dead-point
+samples, ``nlive``/``precision_criterion`` semantics, and the
+``products()["sample"|"logZ"|"logZstd"]`` contract.  External priors are
+folded into the effective likelihood (with the prior volume defined by the
+separable 1D priors), as the reference does for unphysical-prior corrections.
+
+TPU-first design: instead of Fortran killing one point at a time, each
+*generation* kills the worst ``batch_size`` live points and regenerates them
+with that many parallel whitened slice-sampling chains — one jitted call per
+generation, vmapped over the batch, with fixed-iteration masked step-out /
+shrink loops.  The evidence ledger (tiny, sequential) runs on host in f64
+from one fetch per generation.  Clustered evidences are not yet implemented
+(single-cluster posteriors only).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+
+from ...io.collection import SampleCollection
+from ...utils import conventions as cv
+from ...utils.log import LoggedError
+from ...utils.tools import read_dnumber
+from ..sampler import Sampler
+
+
+class Nested(Sampler):
+    file_base_name = "nested"
+
+    nlive: Union[int, str]
+    num_repeats: Union[int, str]
+    precision_criterion: float
+    batch_size: Optional[int]
+    max_shrink: int
+    max_ndead: float
+    confidence_for_unbounded: float
+    precision: str
+
+    def initialize(self):
+        import jax
+        import jax.numpy as jnp
+
+        model = self.model
+        self.d = len(model.parameterization.sampled_params())
+        self._nlive = read_dnumber(self.nlive, self.d)
+        self._num_repeats = max(read_dnumber(self.num_repeats, self.d), 1)
+        self._batch = int(self.batch_size or max(self._nlive // 8, 1))
+        self._batch = min(self._batch, max(self._nlive // 2, 1))
+        self._dtype = jnp.dtype(self.precision)
+        # --- cube transform tables (host-built ppf knots) ---------------------
+        K = 1025
+        eps = (1 - self.confidence_for_unbounded) / 2
+        u_knots = np.linspace(0, 1, K)
+        u_eval = np.clip(u_knots, eps, 1 - eps)
+        tables = np.stack([
+            dist.ppf(u_eval) for dist in model.prior.dists
+        ])  # (d, K)
+        if not np.all(np.isfinite(tables)):
+            raise LoggedError(
+                self.log, "Non-finite prior ppf values; check priors."
+            )
+        self._u_knots = u_knots
+        self._tables = tables
+        logpost_fn = model.make_logposterior_fn(clip_to_bounds=True)
+        tab = jnp.asarray(tables, self._dtype)
+        knots = jnp.asarray(u_knots, self._dtype)
+
+        def cube_to_x(u):
+            return jax.vmap(jnp.interp, in_axes=(0, None, 0))(u, knots, tab)
+
+        def loglike_u(u):
+            x = cube_to_x(u)
+            _, logpriors, loglikes, derived = logpost_fn(x)
+            # external priors fold into the effective likelihood
+            ext = jnp.sum(logpriors[1:]) if logpriors.shape[0] > 1 else 0.0
+            return jnp.sum(loglikes) + ext, (x, loglikes, derived)
+
+        self._cube_to_x = cube_to_x
+        self._loglike_u = loglike_u
+        self._loglike_batch = jax.jit(
+            jax.vmap(lambda u: loglike_u(u)[0])
+        )
+        self._decorate_batch = jax.jit(jax.vmap(lambda u: loglike_u(u)))
+        self._generation = jax.jit(self._make_generation())
+        self.logZ = -np.inf
+        self.logZstd = np.inf
+        self._n_evals = 0
+
+    # ------------------------------------------------------------------
+    def _make_generation(self):
+        import jax
+        import jax.numpy as jnp
+
+        d = self.d
+        K = self._batch
+        n = self._nlive
+        repeats = self._num_repeats  # slice passes (option already scales with d)
+        max_step_out = 4
+        max_shrink = int(self.max_shrink)
+        loglike_u = lambda u: self._loglike_u(u)[0]
+
+        def slice_pass(carry, _):
+            u, logL, Lmin, key, whiten, n_ev = carry
+            key, k_dir, k_r, k_shrink = jax.random.split(key, 4)
+            g = jax.random.normal(k_dir, (d,))
+            direction = whiten @ (g / jnp.linalg.norm(g))
+            w = 1.0
+            r = jax.random.uniform(k_r)
+            lo0, hi0 = -w * r, w * (1 - r)
+
+            def check(t):
+                cand = u + t * direction
+                inside = jnp.all((cand >= 0) & (cand <= 1))
+                val = jnp.where(
+                    inside, loglike_u(jnp.clip(cand, 0, 1)), -jnp.inf
+                )
+                return val > Lmin, val
+
+            # step out (masked fixed iterations)
+            def step_out(bound, sign):
+                def body(i, state):
+                    b, active, ne = state
+                    ok, _ = check(b)
+                    grow = active & ok
+                    return (jnp.where(grow, b + sign * w, b),
+                            grow, ne + active)
+
+                b, _, ne = jax.lax.fori_loop(
+                    0, max_step_out, body, (bound, True, 0)
+                )
+                return b, ne
+
+            lo, ne1 = step_out(lo0, -1.0)
+            hi, ne2 = step_out(hi0, +1.0)
+            n_ev = n_ev + ne1 + ne2
+
+            # shrink
+            def shrink_body(i, state):
+                lo, hi, u_new, logL_new, done, key, ne = state
+                key, k_t = jax.random.split(key)
+                t = jax.random.uniform(k_t, minval=lo, maxval=hi)
+                ok, val = check(t)
+                accept = (~done) & ok
+                u_out = jnp.where(accept, jnp.clip(u + t * direction, 0, 1),
+                                  u_new)
+                logL_out = jnp.where(accept, val, logL_new)
+                lo = jnp.where((~done) & (~ok) & (t < 0), t, lo)
+                hi = jnp.where((~done) & (~ok) & (t >= 0), t, hi)
+                return (lo, hi, u_out, logL_out, done | ok, key,
+                        ne + (~done))
+
+            lo, hi, u_new, logL_new, done, key, ne = jax.lax.fori_loop(
+                0, max_shrink, shrink_body,
+                (lo, hi, u, logL, False, k_shrink, 0),
+            )
+            n_ev = n_ev + ne
+            # on total failure stay at the current point (valid but wasted)
+            return (u_new, logL_new, Lmin, key, whiten, n_ev), None
+
+        def replace_one(u_start, logL_start, Lmin, whiten, key):
+            carry = (u_start, logL_start, Lmin, key, whiten, 0)
+            carry, _ = jax.lax.scan(slice_pass, carry, None, length=repeats)
+            u, logL, _, _, _, n_ev = carry
+            return u, logL, n_ev
+
+        def generation(u_live, logL_live, key):
+            order = jnp.argsort(logL_live)
+            kill = order[:K]
+            survive = order[K:]
+            Lmin = logL_live[kill[-1]]  # the highest of the killed
+            dead_u = u_live[kill]
+            dead_logL = logL_live[kill]
+            # whitening from surviving live points
+            us = u_live[survive]
+            mu = us.mean(0)
+            cov = (us - mu).T @ (us - mu) / (n - K - 1)
+            cov = cov + 1e-8 * jnp.eye(d)
+            whiten = jnp.linalg.cholesky(cov)
+            key, k_pick, k_slice = jax.random.split(key, 3)
+            starts = jax.random.choice(k_pick, survive, (K,), replace=True)
+            keys = jax.random.split(k_slice, K)
+            new_u, new_logL, n_ev = jax.vmap(
+                replace_one, in_axes=(0, 0, None, None, 0)
+            )(u_live[starts], logL_live[starts], Lmin, whiten, keys)
+            u_live = u_live.at[kill].set(new_u)
+            logL_live = logL_live.at[kill].set(new_logL)
+            stuck = jnp.sum(new_logL <= Lmin)
+            return (u_live, logL_live, key, dead_u, dead_logL,
+                    jnp.sum(n_ev), stuck)
+
+        return generation
+
+    # ------------------------------------------------------------------
+    def run(self):
+        import jax
+        import jax.numpy as jnp
+
+        n, K, d = self._nlive, self._batch, self.d
+        key = self.next_jax_key()
+        key, k0 = jax.random.split(key)
+        u_live = jax.random.uniform(k0, (n, d), dtype=self._dtype)
+        logL_live = self._loglike_batch(u_live)
+        self._n_evals += n
+        self.mpi_info(
+            "Nested sampling: nlive=%d, batch=%d, num_repeats=%d (d=%d)",
+            n, K, self._num_repeats * d, d,
+        )
+        # host-side f64 evidence ledger
+        dead_u_all, dead_logL_all, dead_logw_all = [], [], []
+        logZ = -np.inf
+        logX = 0.0
+        H = 0.0
+        it = 0
+        while True:
+            it += 1
+            (u_live, logL_live, key, dead_u, dead_logL, n_ev,
+             stuck) = self._generation(u_live, logL_live, key)
+            dead_u_h, dead_logL_h, logL_live_h, n_ev_h, stuck_h = (
+                jax.device_get((dead_u, dead_logL, logL_live, n_ev, stuck))
+            )
+            self._n_evals += int(n_ev_h)
+            # ordered kills: live counts n, n-1, ..., n-K+1
+            for j in range(K):
+                d_logX = -1.0 / (n - j)
+                logw = logX + np.log(-np.expm1(d_logX))  # log(X_i - X_{i+1})
+                logX += d_logX
+                lw = logw + float(dead_logL_h[j])
+                logZ_new = np.logaddexp(logZ, lw)
+                if np.isfinite(lw):
+                    old_term = (
+                        np.exp(logZ - logZ_new) * (H + logZ)
+                        if np.isfinite(logZ) else 0.0
+                    )
+                    H = (
+                        np.exp(lw - logZ_new) * float(dead_logL_h[j])
+                        + old_term - logZ_new
+                    )
+                logZ = logZ_new
+                dead_logw_all.append(logw)
+            dead_u_all.append(dead_u_h)
+            dead_logL_all.append(dead_logL_h)
+            # stopping: live evidence fraction
+            logL_max = float(np.max(logL_live_h))
+            live_frac = logL_max + logX - logZ
+            if it % 20 == 0 or live_frac < np.log(self.precision_criterion):
+                self.mpi_info(
+                    "gen %d: ndead=%d logZ=%.4f logX=%.2f live-frac=%.3g "
+                    "evals=%d", it, it * K, logZ, logX, np.exp(live_frac),
+                    self._n_evals,
+                )
+            if live_frac < np.log(self.precision_criterion):
+                break
+            if it * K >= self.max_ndead:
+                self.mpi_warning("Stopped at max_ndead without convergence.")
+                break
+            if stuck_h == K:
+                self.mpi_warning(
+                    "All slice chains stuck at the constraint; stopping "
+                    "early (likelihood plateau?)."
+                )
+                break
+        # final live points: each carries X_final/n
+        logw_live = logX - np.log(n)
+        live_logL_sorted = np.sort(logL_live_h)
+        for lL in live_logL_sorted:
+            lw = logw_live + lL
+            logZ_new = np.logaddexp(logZ, lw)
+            if np.isfinite(lw):
+                old_term = (
+                    np.exp(logZ - logZ_new) * (H + logZ)
+                    if np.isfinite(logZ) else 0.0
+                )
+                H = np.exp(lw - logZ_new) * lL + old_term - logZ_new
+            logZ = logZ_new
+        self.logZ = float(logZ)
+        self.logZstd = float(np.sqrt(max(H, 0.0) / n))
+        self.mpi_info(
+            "Evidence: logZ = %.4f +/- %.4f (H=%.3f, %d dead, %d evals)",
+            self.logZ, self.logZstd, H, it * K, self._n_evals,
+        )
+        # --- build the posterior-weighted sample collection -------------------
+        dead_u_np = np.concatenate(dead_u_all)
+        dead_logL_np = np.concatenate(dead_logL_all)
+        dead_logw_np = np.asarray(dead_logw_all)
+        all_u = np.concatenate([dead_u_np, np.asarray(
+            jax.device_get(u_live))])
+        all_logL = np.concatenate([dead_logL_np, logL_live_h])
+        all_logw = np.concatenate([
+            dead_logw_np, np.full(n, logw_live)
+        ])
+        post_logw = all_logw + all_logL - logZ
+        weights = np.exp(post_logw - post_logw.max())
+        # decorate: x, per-like loglikes, derived (one batched call)
+        _, (x, loglikes, derived) = jax.device_get(
+            self._decorate_batch(jnp.asarray(all_u, self._dtype))
+        )
+        logpriors0 = np.asarray(jax.device_get(jax.jit(jax.vmap(
+            self.model.prior.logps_internal_jax
+        ))(jnp.asarray(x))))
+        self.collection = SampleCollection(self.model, self.output, name="1")
+        self.collection.append_batch(
+            np.asarray(x), np.asarray(all_logL) + logpriors0,
+            logpriors0[:, None],
+            np.asarray(loglikes), np.asarray(derived),
+            weights=weights, rle=False,
+        )
+        self.collection.out_update()
+        if self.output:
+            with open(self.output.add_suffix(
+                self.get_name() + cv.Extension.evidence, separator="."
+            ), "w", encoding="utf-8") as f:
+                f.write(f"logZ = {self.logZ:.6f} +/- {self.logZstd:.6f}\n")
+
+    def products(self, **kwargs):
+        return {
+            "sample": self.collection,
+            "logZ": self.logZ,
+            "logZstd": self.logZstd,
+            "clusters": None,
+        }
