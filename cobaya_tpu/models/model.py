@@ -774,6 +774,127 @@ class Model(HasLogger):
 
         return fn
 
+    def make_blocked_logposterior_fn(self, block_param_indices,
+                                     clip_to_bounds: bool = True):
+        """Work-avoiding evaluator for blocked samplers (speed hierarchy).
+
+        Functional replacement of the reference's per-component LRU state
+        cache (theory.py:240): per-component results are carried explicitly,
+        and evaluating after a move of block ``b`` recomputes ONLY the
+        components footprinted by that block (computed from
+        :meth:`sampled_dependence`), reusing the carried results of the rest
+        — inside jit, via ``lax.switch`` over per-block step functions.
+
+        Returns ``(full_eval, block_eval)``:
+        ``full_eval(x) -> (logpost, logpriors, loglikes, derived, cache)``;
+        ``block_eval(b, x, cache) -> same`` with ``b`` a traced int32.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        sampled_names = list(self.parameterization.sampled_params())
+        dep = self.sampled_dependence()
+        comp_order = list(self._component_order)
+        comp_names = [c.get_name() for c in comp_order]
+        # footprint per block: components to recompute when the block moves.
+        # In the Cholesky-mixed basis a block's move also drags every FASTER
+        # block's parameters (triangular transform, proposal.py:226-260 of
+        # the reference), so block b's footprint includes all blocks >= b.
+        per_block = []
+        for block in block_param_indices:
+            needed = set()
+            for i_param in block:
+                for comp in dep[sampled_names[i_param]]:
+                    needed.add(comp_names.index(comp.get_name()))
+            per_block.append(needed)
+        block_footprints = [
+            sorted(set().union(*per_block[b:]))
+            for b in range(len(per_block))
+        ]
+        bounds = self.prior.bounds(confidence_for_unbounded=1.0)
+        lo = np.where(np.isfinite(bounds[:, 0]), bounds[:, 0], -np.inf)
+        hi = np.where(np.isfinite(bounds[:, 1]), bounds[:, 1], np.inf)
+        like_flags = [isinstance(c, LikelihoodInterface) for c in comp_order]
+        output_names = list(self.parameterization.output_params())
+        derived_names = self.derived_names
+        like_names = list(self.likelihood.keys())
+        aggr = dict(self._aggr_chi2_names)
+        steps = [self._component_jax_step(c) for c in comp_order]
+
+        def _eval(x, cache, recompute_idx):
+            x = jnp.asarray(x)
+            logprior0 = self.prior.logps_internal_jax(x)
+            x_safe = jnp.clip(x, jnp.asarray(lo, x.dtype),
+                              jnp.asarray(hi, x.dtype)) \
+                if clip_to_bounds else x
+            input_values = self.parameterization.to_input(
+                dict(zip(sampled_names, x_safe))
+            )
+            logpriors = [logprior0] + [
+                jnp.asarray(ext.logp(input_values))
+                for ext in self.prior.external.values()
+            ]
+            new_cache = list(cache)
+            products: dict[str, Any] = {}
+            for i, comp in enumerate(comp_order):
+                if i in recompute_idx:
+                    params = {p: input_values[p] for p in comp.input_params
+                              if p in input_values}
+                    prods, derived = steps[i](params, products)
+                    new_cache[i] = (prods, derived)
+                prods, derived = new_cache[i]
+                products[comp.get_name()] = prods
+            outputs: dict[str, Any] = {}
+            loglikes_list = []
+            for i, comp in enumerate(comp_order):
+                prods, derived = new_cache[i]
+                outputs.update(derived or {})
+                if like_flags[i]:
+                    loglikes_list.append(jnp.asarray(prods["logp"]))
+            loglikes = (jnp.stack(loglikes_list) if loglikes_list
+                        else jnp.zeros((0,), x.dtype))
+            for i, like_name in enumerate(like_names):
+                outputs.setdefault(cv.chi2_name(like_name), -2 * loglikes[i])
+            for name, idxs in aggr.items():
+                outputs[name] = -2 * sum(
+                    (loglikes[i] for i in idxs),
+                    start=jnp.asarray(0.0, x.dtype),
+                )
+            derived_dict = self.parameterization.to_derived(
+                {p: outputs.get(p, jnp.nan) for p in output_names},
+                input_values,
+            )
+            derived = (
+                jnp.stack([jnp.asarray(derived_dict[p], dtype=x.dtype)
+                           for p in derived_names])
+                if derived_names else jnp.zeros((0,), x.dtype)
+            )
+            logpriors_arr = jnp.stack([jnp.asarray(v, dtype=x.dtype)
+                                       for v in logpriors])
+            prior_ok = jnp.isfinite(logprior0)
+            loglikes = jnp.where(prior_ok, loglikes, -jnp.inf)
+            logpost = jnp.where(
+                prior_ok, jnp.sum(logpriors_arr) + jnp.sum(loglikes),
+                -jnp.inf,
+            )
+            return logpost, logpriors_arr, loglikes, derived, tuple(new_cache)
+
+        def full_eval(x):
+            dummy = tuple((None, None) for _ in comp_order)
+            return _eval(x, dummy, set(range(len(comp_order))))
+
+        branch_fns = [
+            (lambda fp: (lambda x, cache: _eval(x, cache, set(fp))))(fp)
+            for fp in block_footprints
+        ]
+
+        def block_eval(b, x, cache):
+            return jax.lax.switch(
+                b, [lambda op, f=f: f(*op) for f in branch_fns], (x, cache)
+            )
+
+        return full_eval, block_eval
+
     def _component_jax_step(self, comp: Theory) -> Callable:
         """Traced step for one component: (params, products_so_far) -> (prods, derived)."""
         import jax

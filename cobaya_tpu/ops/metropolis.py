@@ -34,8 +34,9 @@ class MCMCCarry(NamedTuple):
     weight: Any  # (C,) repeats of the current point so far
     n_accepted: Any  # (C,) total accepted points
     rejects_streak: Any  # (C,) consecutive non-prior rejections
-    mom: Moments  # per-walker running moments of x
-    mom_all: Moments  # moments since chain start (never reset)
+    mom: Moments  # per-walker moment window A (staggered resets)
+    mom2: Moments  # per-walker moment window B
+    cache: Any = ()  # per-component cached results (blocked evaluator only)
 
 
 class EpochRecord(NamedTuple):
@@ -53,6 +54,7 @@ def make_epoch_fn(
     logpost_fn: Callable,
     periodic_wrap: Callable | None,
     temperature: float = 1.0,
+    block_eval: Callable | None = None,
 ) -> Callable:
     """Build the jittable epoch function.
 
@@ -61,13 +63,18 @@ def make_epoch_fn(
     ``epoch(carry, schedule, transforms, dir_mask, block_sizes, scale)
     -> (carry, EpochRecord)`` where ``schedule`` has shape
     ``(n_records, thin)`` of block indices.
+
+    With ``block_eval`` (from :meth:`Model.make_blocked_logposterior_fn`),
+    the carry's per-component cache is used so that each step recomputes only
+    the components footprinted by the moved block (the speed hierarchy's
+    work avoidance, reference theory.py:240 + proposal oversampling).
     """
     import jax
     import jax.numpy as jnp
 
     from .proposal import propose_jax
 
-    logpost_batch = jax.vmap(logpost_fn)
+    logpost_batch = jax.vmap(logpost_fn) if block_eval is None else None
     inv_T = 1.0 / float(temperature)
 
     def tempered(logpriors, loglikes):
@@ -83,7 +90,13 @@ def make_epoch_fn(
           scale)
         if periodic_wrap is not None:
             trial = periodic_wrap(trial)
-        lp_t, lpri_t, llik_t, der_t = logpost_batch(trial)
+        if block_eval is None:
+            lp_t, lpri_t, llik_t, der_t = logpost_batch(trial)
+            cache_t = carry.cache
+        else:
+            lp_t, lpri_t, llik_t, der_t, cache_t = jax.vmap(
+                block_eval, in_axes=(None, 0, 0)
+            )(block_index, trial, carry.cache)
         tlp_t = tempered(lpri_t, llik_t)
         tlp_c = carry.logpost
         # prior rejection: trial outside prior support
@@ -92,13 +105,15 @@ def make_epoch_fn(
         accept = prior_ok & jnp.isfinite(tlp_t) & (
             (tlp_t > tlp_c) | (expdraw > (tlp_c - tlp_t))
         )
-        acc1 = accept[:, None]
 
         def sel(new, old):
             mask = accept.reshape(accept.shape + (1,) * (new.ndim - 1))
             return jnp.where(mask, new, old)
 
         new_x = sel(trial, carry.x)
+        new_cache = carry.cache if block_eval is None else jax.tree.map(
+            lambda new, old: sel(new, old), cache_t, carry.cache
+        )
         new_carry = MCMCCarry(
             key=key_next,
             x=new_x,
@@ -112,7 +127,8 @@ def make_epoch_fn(
                 accept, 0, carry.rejects_streak + prior_ok
             ),
             mom=mom_ops.update(carry.mom, new_x),
-            mom_all=mom_ops.update(carry.mom_all, new_x),
+            mom2=mom_ops.update(carry.mom2, new_x),
+            cache=new_cache,
         )
         return new_carry
 
@@ -139,19 +155,28 @@ def make_epoch_fn(
     return epoch
 
 
-def init_carry(key, x0, logpost_fn, dtype=None) -> MCMCCarry:
-    """Initial carry from starting points ``x0`` of shape (C, d)."""
+def init_carry(key, x0, logpost_fn, dtype=None,
+               full_eval=None, temperature: float = 1.0) -> MCMCCarry:
+    """Initial carry from starting points ``x0`` of shape (C, d).
+
+    ``full_eval`` (the cache-building evaluator from
+    ``make_blocked_logposterior_fn``) enables the blocked-cache path.
+    """
     import jax
     import jax.numpy as jnp
 
     x0 = jnp.asarray(x0, dtype=dtype)
     C = x0.shape[0]
     keys = jax.random.split(key, C)
-    lp, lpri, llik, der = jax.vmap(logpost_fn)(x0)
+    if full_eval is not None:
+        lp, lpri, llik, der, cache = jax.vmap(full_eval)(x0)
+    else:
+        lp, lpri, llik, der = jax.vmap(logpost_fn)(x0)
+        cache = ()
     return MCMCCarry(
         key=keys,
         x=x0,
-        logpost=jnp.sum(lpri, -1) + jnp.sum(llik, -1),
+        logpost=jnp.sum(lpri, -1) + jnp.sum(llik, -1) / temperature,
         logpriors=lpri,
         loglikes=llik,
         derived=der,
@@ -159,10 +184,16 @@ def init_carry(key, x0, logpost_fn, dtype=None) -> MCMCCarry:
         n_accepted=jnp.zeros(C, jnp.int32),
         rejects_streak=jnp.zeros(C, jnp.int32),
         mom=mom_ops.init(x0),
-        mom_all=mom_ops.init(x0),
+        mom2=mom_ops.init(x0),
+        cache=cache,
     )
 
 
-def reset_moments(carry: MCMCCarry) -> MCMCCarry:
-    """Reset the per-epoch moment accumulators (anchored at current points)."""
-    return carry._replace(mom=mom_ops.init(carry.x))
+def reset_moments(carry: MCMCCarry, which: str = "both") -> MCMCCarry:
+    """Reset a moment window (anchored at current points)."""
+    fresh = mom_ops.init(carry.x)
+    if which == "mom":
+        return carry._replace(mom=fresh)
+    if which == "mom2":
+        return carry._replace(mom2=fresh)
+    return carry._replace(mom=fresh, mom2=fresh)

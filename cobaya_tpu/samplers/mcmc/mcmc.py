@@ -69,6 +69,7 @@ class MCMC(CovmatSampler):
     n_chains: int
     records_per_epoch: int
     output_chains: int
+    fetch_chains: Optional[int]
     precision: str
 
     supports_periodic_params = True
@@ -143,24 +144,53 @@ class MCMC(CovmatSampler):
         self._set_proposal(covmat)
         # --- compiled posterior ----------------------------------------------------
         self._logpost_fn = model.make_logposterior_fn()
+        # with >1 block, use the work-avoiding cached evaluator so only the
+        # components footprinted by the moved block recompute (fast/slow)
+        if len(blocks) > 1:
+            self._full_eval, self._block_eval = (
+                model.make_blocked_logposterior_fn(self._block_indices)
+            )
+        else:
+            self._full_eval = self._block_eval = None
         periodic, bounds = model.prior.periodic_params_bounds
         wrap = model.prior.reduce_periodic if np.any(periodic) else None
         self._epoch_fn = jax.jit(
-            make_epoch_fn(self._logpost_fn, wrap, self.temperature)
+            make_epoch_fn(self._logpost_fn, wrap, self.temperature,
+                          block_eval=self._block_eval)
         )
-        self._stats_fn = jax.jit(
-            lambda m: (m.count, mom_ops.mean(m), mom_ops.cov(m))
-        )
+        # on-device epoch diagnostics: everything the host needs, tiny.
+        # (the tunnel-TPU backend moves data at ~0.5 MB/s, so cross-chain
+        # statistics are reduced on device; only scalars + a (d, d) matrix
+        # + a small record subsample cross to the host each epoch)
+        from ...ops.convergence import rminus1_of_moments_jax
+
+        def window_stats(mom: mom_ops.Moments):
+            counts = mom.count
+            means = mom_ops.mean(mom)
+            covs = mom_ops.cov(mom)
+            w = counts / jnp.sum(counts)
+            mean_of_covs = jnp.einsum("c,cij->ij", w, covs)
+            return rminus1_of_moments_jax(counts, means, covs), mean_of_covs
+
+        def epoch_stats(carry):
+            return (window_stats(carry.mom), window_stats(carry.mom2),
+                    jnp.mean(carry.n_accepted.astype(jnp.float32)),
+                    jnp.max(carry.rejects_streak))
+
+        self._stats_fn = jax.jit(epoch_stats)
+        self._n_fetch = min(self.fetch_chains or self.n_chains,
+                            self.n_chains)
         # --- state ----------------------------------------------------------------
         self.n_steps = 0  # per-walker steps completed (post burn-in counting all)
-        self._epoch_summaries: list[tuple] = []  # (counts, means, covs) / epoch
+        self._win_steps = [0, 0]  # lengths of the two staggered windows
         self._records: list[dict] = []  # host copies of thinned records
         self._progress: list[dict] = []
         self.Rminus1_last = np.inf
         self.Rminus1_cl_last = np.inf
         self.converged = False
         self._checks_passed = 0
-        self._accepted_prev = np.zeros(self.n_chains)
+        self._accepted_prev = 0.0
+        self._total_accepted_mean = 0.0
         self._t_start = time.time()
         self._t_last_print = 0.0
         self._carry = None
@@ -235,14 +265,8 @@ class MCMC(CovmatSampler):
             )
         self.mpi_info("Initial points found for all %d walkers.", C)
         carry = init_carry(self.next_jax_key(), x, self._logpost_fn,
-                           dtype=self._dtype)
-        if self.temperature != 1:
-            import jax.numpy as jnp
-
-            carry = carry._replace(
-                logpost=jnp.sum(carry.logpriors, -1)
-                + jnp.sum(carry.loglikes, -1) / self.temperature
-            )
+                           dtype=self._dtype, full_eval=self._full_eval,
+                           temperature=self.temperature)
         self._carry = self._shard(carry)
 
     def _make_collections(self):
@@ -268,6 +292,9 @@ class MCMC(CovmatSampler):
         while self.n_steps < self._burn_in:
             steps = min(self._learn_every, self._burn_in - self.n_steps)
             self._run_epoch(steps, record=False)
+        if self._burn_in:
+            self._carry = reset_moments(self._carry)
+            self._win_steps = [0, 0]
         while not self.converged and self.n_steps < self.max_samples:
             self._run_epoch(self._learn_every, record=True)
             self._check_convergence_and_learn_proposal()
@@ -300,23 +327,29 @@ class MCMC(CovmatSampler):
         schedule = make_block_schedule(
             self._proposal, total, self.rng
         ).reshape(n_rec, thin)
-        carry = reset_moments(self._carry)
         carry, recs = self._epoch_fn(
-            carry, jnp.asarray(schedule), *self._prop_dev
+            self._carry, jnp.asarray(schedule), *self._prop_dev
         )
         self._carry = carry
-        # ONE host fetch per epoch (the tunnel-TPU backend has ~1s/transfer
-        # latency, so everything the host needs is bundled into one get)
-        import jax
-
-        stats, recs_h, streak_dev, n_acc_dev = jax.device_get((
-            self._stats_fn(carry.mom), recs if record else None,
-            carry.rejects_streak, carry.n_accepted,
-        ))
-        counts, means, covs = (np.asarray(a) for a in stats)
         self.n_steps += total
+        self._win_steps = [w + total for w in self._win_steps]
+        # ONE bundled host fetch per epoch: scalars, a (d,d) matrix, and a
+        # record subsample of fetch_chains walkers
+        nf = self._n_fetch
+        fetch_recs = jax.tree.map(lambda a: a[:, :nf], recs) if record \
+            else None
+        stats_h, recs_h = jax.device_get((
+            self._stats_fn(carry), fetch_recs,
+        ))
+        (stats_a, stats_b, acc_mean, streak) = stats_h
+        # primary window = the longer one
+        primary = 0 if self._win_steps[0] >= self._win_steps[1] else 1
+        rminus1, mean_of_covs = (stats_a, stats_b)[primary]
+        self._last_stats = {
+            "rminus1": float(rminus1),
+            "mean_of_covs": np.asarray(mean_of_covs, float),
+        }
         if record:
-            self._epoch_summaries.append((counts, means, covs))
             host_recs = {
                 "x": np.asarray(recs_h.x, np.float32),
                 "logpost": np.asarray(recs_h.logpost, np.float32),
@@ -328,22 +361,20 @@ class MCMC(CovmatSampler):
             self._records.append(host_recs)
             self._append_to_collections(host_recs)
         # stuck-walker detection
-        streak = int(np.max(streak_dev))
-        if streak >= self._max_tries:
+        if int(streak) >= self._max_tries:
             raise LoggedError(
                 self.log,
                 "Some walker has been stuck for %d non-prior-rejected tries "
                 "(max_tries=%d). The posterior may be too concentrated "
-                "relative to the proposal, or have unphysical regions. "
-                "Current worst point logpost=%.4g.",
-                streak, self._max_tries,
-                float(np.min(np.asarray(carry.logpost))),
+                "relative to the proposal, or have unphysical regions.",
+                int(streak), self._max_tries,
             )
         # progress printing
         now = time.time()
-        self._acceptance_rate = float(
-            (np.asarray(n_acc_dev) - self._accepted_prev).mean() / total
-        )
+        new_acc = float(acc_mean)
+        self._acceptance_rate = (new_acc - self._accepted_prev) / total
+        self._accepted_prev = new_acc
+        self._total_accepted_mean = new_acc
         if now - self._t_last_print > self._output_every.value:
             self.mpi_info(
                 "%d steps/walker (%.2g posterior evals/s), acceptance %.3f, "
@@ -352,7 +383,6 @@ class MCMC(CovmatSampler):
                 self._acceptance_rate, self.Rminus1_last,
             )
             self._t_last_print = now
-        self._accepted_prev = np.asarray(n_acc_dev).copy()
 
     def _append_to_collections(self, recs: dict):
         for i, coll in enumerate(self._collections):
@@ -366,33 +396,18 @@ class MCMC(CovmatSampler):
     # ------------------------------------------------------------------
     # convergence & proposal learning (reference mcmc.py:773-1032)
     # ------------------------------------------------------------------
-    def _second_half_stats(self):
-        """Merge per-epoch per-chain moments over the second half of epochs."""
-        n_ep = len(self._epoch_summaries)
-        if n_ep == 0:
-            return None
-        use = self._epoch_summaries[n_ep // 2:]
-        counts = np.sum([u[0] for u in use], axis=0)  # (C,)
-        # weighted mean of means
-        means = np.zeros_like(use[0][1])
-        for c, m, _ in use:
-            means += c[:, None] * m
-        means /= np.maximum(counts, 1)[:, None]
-        covs = np.zeros_like(use[0][2])
-        for c, m, S in use:
-            dm = m - means
-            covs += (c[:, None, None] - 1) * S + c[:, None, None] * (
-                dm[:, :, None] * dm[:, None, :]
-            )
-        covs /= np.maximum(counts - 1, 1)[:, None, None]
-        return counts, means, covs
-
     def _check_convergence_and_learn_proposal(self):
-        stats = self._second_half_stats()
-        if stats is None:
+        """R-1 gate + proposal learning from the on-device moment window.
+
+        The reference recomputes mean/cov of the *second half* of each chain
+        at every check (mcmc.py:791); here per-walker moments accumulate on
+        device in a window that is reset whenever it exceeds half the total
+        chain length, giving an amortized recent-half window without ever
+        shipping per-chain covariances to the host.
+        """
+        if not hasattr(self, "_last_stats"):
             return
-        counts, means, covs = stats
-        self.Rminus1_last = rminus1_of_moments(counts, means, covs)
+        self.Rminus1_last = self._last_stats["rminus1"]
         self.mpi_info(
             "Convergence check: R-1(means) = %.4g (stop at %.3g) after %d "
             "steps/walker.", self.Rminus1_last, self.Rminus1_stop,
@@ -415,17 +430,15 @@ class MCMC(CovmatSampler):
         if self._checks_passed >= max(self.Rminus1_n_checks - 1, 1):
             self.converged = True
         # proposal learning
-        early = len(self._epoch_summaries) <= 2
+        early = self.n_steps <= 3 * self._learn_every
         rmax = (self.learn_proposal_Rminus1_max_early if early
                 else self.learn_proposal_Rminus1_max)
         if (
             self.learn_proposal and not self.converged
             and self.learn_proposal_Rminus1_min < self.Rminus1_last < rmax
         ):
-            w = counts / counts.sum()
-            mean_of_covs = np.einsum("c,cij->ij", w, covs)
             try:
-                self._set_proposal(mean_of_covs)
+                self._set_proposal(self._last_stats["mean_of_covs"])
                 self.mpi_info("Updated proposal covariance from walker "
                               "statistics.")
             except LoggedError:
@@ -433,11 +446,23 @@ class MCMC(CovmatSampler):
                     "Learned covariance not positive-definite; keeping the "
                     "previous proposal."
                 )
+        # staggered recent-half windows: reset the longer window once the
+        # shorter one covers a quarter of the chain, so the stats window
+        # always spans roughly the recent half (reference uses literal
+        # second-half recomputation, mcmc.py:791)
+        if not self.converged:
+            longer = 0 if self._win_steps[0] >= self._win_steps[1] else 1
+            shorter = 1 - longer
+            if self._win_steps[shorter] >= self.n_steps / 4:
+                self._carry = reset_moments(
+                    self._carry, "mom" if longer == 0 else "mom2"
+                )
+                self._win_steps[longer] = 0
         self._progress.append({
             "N": self.n_steps,
             "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
             "acceptance_rate": float(
-                self._accepted_prev.mean() / max(self.n_steps, 1)
+                self._total_accepted_mean / max(self.n_steps, 1)
             ),
             "Rminus1": float(self.Rminus1_last),
             "Rminus1_cl": float(self.Rminus1_cl_last),
@@ -507,14 +532,7 @@ class MCMC(CovmatSampler):
                 rejects_streak=np.asarray(c.rejects_streak),
                 n_steps=self.n_steps,
                 covmat=self._proposal.covmat,
-                ep_counts=np.stack([e[0] for e in self._epoch_summaries])
-                if self._epoch_summaries else np.zeros((0, self.n_chains)),
-                ep_means=np.stack([e[1] for e in self._epoch_summaries])
-                if self._epoch_summaries else
-                np.zeros((0, self.n_chains, self.d)),
-                ep_covs=np.stack([e[2] for e in self._epoch_summaries])
-                if self._epoch_summaries else
-                np.zeros((0, self.n_chains, self.d, self.d)),
+                win_steps=np.asarray(self._win_steps),
                 seed_state=self.rng.bit_generator.state["state"]["state"],
             )
         self._flush_output()
@@ -543,6 +561,9 @@ class MCMC(CovmatSampler):
         import jax.numpy as jnp
 
         x = jnp.asarray(data["x"], self._dtype)
+        cache = ()
+        if self._full_eval is not None:
+            cache = jax.jit(jax.vmap(self._full_eval))(x)[4]
         carry = MCMCCarry(
             key=jax.random.wrap_key_data(jnp.asarray(data["key"])),
             x=x,
@@ -554,14 +575,12 @@ class MCMC(CovmatSampler):
             n_accepted=jnp.asarray(data["n_accepted"], jnp.int32),
             rejects_streak=jnp.asarray(data["rejects_streak"], jnp.int32),
             mom=mom_ops.init(x),
-            mom_all=mom_ops.init(x),
+            mom2=mom_ops.init(x),
+            cache=cache,
         )
         self._carry = self._shard(carry)
         self.n_steps = int(data["n_steps"])
-        self._epoch_summaries = [
-            (data["ep_counts"][i], data["ep_means"][i], data["ep_covs"][i])
-            for i in range(len(data["ep_counts"]))
-        ]
+        self._win_steps = [0, 0]  # windows restart at resume
         checkpoint = self.read_checkpoint_info() or {}
         self._checks_passed = int(checkpoint.get("checks_passed", 0))
         self.Rminus1_last = float(checkpoint.get("Rminus1_last", np.inf))
