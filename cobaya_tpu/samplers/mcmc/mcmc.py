@@ -154,10 +154,26 @@ class MCMC(CovmatSampler):
             self._full_eval = self._block_eval = None
         periodic, bounds = model.prior.periodic_params_bounds
         wrap = model.prior.reduce_periodic if np.any(periodic) else None
-        self._epoch_fn = jax.jit(
-            make_epoch_fn(self._logpost_fn, wrap, self.temperature,
-                          block_eval=self._block_eval)
-        )
+        if self.drag:
+            from ...ops.dragging import make_drag_epoch_fn
+
+            n_slow = len(blocks[0])
+            n_fast = sum(len(b) for b in blocks[1:])
+            self._drag_interp_steps = max(
+                1, int(np.round(self._oversampling[-1] * n_fast / n_slow))
+            )
+            self.mpi_info("Dragging with %d interpolating steps.",
+                          self._drag_interp_steps)
+            self._epoch_fn = jax.jit(make_drag_epoch_fn(
+                self._logpost_fn, wrap, self.temperature,
+                block_eval=self._block_eval,
+                drag_interp_steps=self._drag_interp_steps,
+            ))
+        else:
+            self._epoch_fn = jax.jit(
+                make_epoch_fn(self._logpost_fn, wrap, self.temperature,
+                              block_eval=self._block_eval)
+            )
         # on-device epoch diagnostics: everything the host needs, tiny.
         # (the tunnel-TPU backend moves data at ~0.5 MB/s, so cross-chain
         # statistics are reduced on device; only scalars + a (d, d) matrix
