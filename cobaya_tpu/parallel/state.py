@@ -1,0 +1,359 @@
+"""Multi-process coordination: the reference's MPI layer, reimagined.
+
+Capability parity with /root/reference/cobaya/mpi.py: process identity
+helpers, share/gather/allgather/scatter of host values, root-lifting
+decorators (``root_only``, ``from_root``, ``set_from_root``,
+``sync_errors``), barriers, and an error-propagation state machine so one
+process's exception aborts its peers instead of deadlocking them.
+
+TPU-first design: intra-host chain parallelism needs NO communication at all
+(walkers are vmapped into the device program); these utilities only matter
+for multi-host runs, where they are built on ``jax.distributed`` — array
+collectives ride ICI/DCN through one-off jitted psum/all_gather programs, and
+out-of-band signaling (the READY/ERROR state machine, which cannot be a
+collective because peers poll asynchronously) uses the JAX coordination
+service's KV store.  Every function degrades to an exact serial fallback when
+only one process exists, so all code runs identically un-distributed —
+mirroring the reference's serial fallbacks (mpi.py:138-191).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import pickle
+import time
+from typing import Any, Callable
+
+from ..utils.log import LoggedError, get_logger
+
+log = get_logger("parallel.state")
+
+default_error_timeout_seconds = 5.0
+
+
+class OtherProcessError(Exception):
+    """Another process failed; this one is aborting in sympathy."""
+
+
+def _distributed_client():
+    try:
+        from jax._src import distributed
+
+        state = distributed.global_state
+        return state.client if state.client is not None else None
+    except Exception:
+        return None
+
+
+def process_index() -> int:
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
+def process_count() -> int:
+    try:
+        import jax
+
+        return jax.process_count()
+    except Exception:
+        return 1
+
+
+# reference-compatible aliases
+def rank() -> int:
+    return process_index()
+
+
+def size() -> int:
+    return process_count()
+
+
+def is_main_process() -> bool:
+    return process_index() == 0
+
+
+def more_than_one_process() -> bool:
+    return process_count() > 1
+
+
+# --------------------------------------------------------------------------
+# KV-store object exchange (host values; tiny and infrequent)
+# --------------------------------------------------------------------------
+_kv_counter = [0]
+
+
+def _kv_key(tag: str, src: int) -> str:
+    return f"cobaya_tpu/{tag}/{_kv_counter[0]}/{src}"
+
+
+def share(value: Any = None, root: int = 0, tag: str = "share") -> Any:
+    """Broadcast a picklable host value from ``root`` (serial: identity)."""
+    if not more_than_one_process():
+        return value
+    client = _distributed_client()
+    if client is None:
+        raise LoggedError(
+            log, "Multi-process run without jax.distributed initialized."
+        )
+    _kv_counter[0] += 1
+    key = _kv_key(tag, root)
+    if process_index() == root:
+        client.key_value_set_bytes(key, pickle.dumps(value))
+        return value
+    raw = client.blocking_key_value_get_bytes(key, 60_000)
+    return pickle.loads(raw)
+
+
+share_mpi = share  # reference-compatible name
+
+
+def gather(value: Any, root: int = 0, tag: str = "gather") -> list | None:
+    """Gather host values at ``root`` (serial: [value])."""
+    if not more_than_one_process():
+        return [value]
+    client = _distributed_client()
+    _kv_counter[0] += 1
+    key = _kv_key(tag, process_index())
+    client.key_value_set_bytes(key, pickle.dumps(value))
+    if process_index() != root:
+        return None
+    out = []
+    for src in range(process_count()):
+        k = _kv_key(tag, src)
+        out.append(pickle.loads(client.blocking_key_value_get_bytes(
+            k, 60_000)))
+    return out
+
+
+def allgather(value: Any, tag: str = "allgather") -> list:
+    """All processes receive every process's value (serial: [value])."""
+    if not more_than_one_process():
+        return [value]
+    client = _distributed_client()
+    _kv_counter[0] += 1
+    key = _kv_key(tag, process_index())
+    client.key_value_set_bytes(key, pickle.dumps(value))
+    out = []
+    for src in range(process_count()):
+        k = _kv_key(tag, src)
+        out.append(pickle.loads(client.blocking_key_value_get_bytes(
+            k, 60_000)))
+    return out
+
+
+def zip_gather(list_of_values, root: int = 0):
+    """Transpose-gather: [a1, b1] + [a2, b2] -> [(a1, a2), (b1, b2)]."""
+    gathered = gather(list(list_of_values), root=root)
+    if gathered is None:
+        return None
+    return list(zip(*gathered))
+
+
+def array_gather(list_of_arrays, root: int = 0):
+    import numpy as np
+
+    gathered = zip_gather(list_of_arrays, root=root)
+    if gathered is None:
+        return None
+    return [np.array(g) for g in gathered]
+
+
+def scatter(values: list | None = None, root: int = 0,
+            tag: str = "scatter") -> Any:
+    """Root distributes one element to each process (serial: values[0])."""
+    if not more_than_one_process():
+        return (values or [None])[0]
+    client = _distributed_client()
+    _kv_counter[0] += 1
+    if process_index() == root:
+        for dst, v in enumerate(values):
+            client.key_value_set_bytes(
+                f"cobaya_tpu/{tag}/{_kv_counter[0]}/to{dst}",
+                pickle.dumps(v),
+            )
+    raw = client.blocking_key_value_get_bytes(
+        f"cobaya_tpu/{tag}/{_kv_counter[0]}/to{process_index()}", 60_000
+    )
+    return pickle.loads(raw)
+
+
+def barrier(tag: str = "barrier"):
+    if not more_than_one_process():
+        return
+    allgather(0, tag=tag)
+
+
+def abort_if_mpi(code: int = 1):
+    """Hard-abort every process (reference mpi.py:198)."""
+    if more_than_one_process():
+        os._exit(code)
+
+
+# --------------------------------------------------------------------------
+# decorators
+# --------------------------------------------------------------------------
+def root_only(func: Callable) -> Callable:
+    """Run only on the main process (others return None)."""
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        if is_main_process():
+            return func(*args, **kwargs)
+        return None
+
+    return wrapper
+
+
+def from_root(func: Callable) -> Callable:
+    """Compute on root, broadcast the result to every process."""
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        result = func(*args, **kwargs) if is_main_process() else None
+        return share(result)
+
+    return wrapper
+
+
+def set_from_root(attrs) -> Callable:
+    """Method decorator: compute on root, share the listed attributes."""
+    attr_list = [attrs] if isinstance(attrs, str) else list(attrs)
+
+    def decorator(method):
+        @functools.wraps(method)
+        def wrapper(self, *args, **kwargs):
+            result = method(self, *args, **kwargs) if is_main_process() \
+                else None
+            values = share(
+                [getattr(self, a, None) for a in attr_list]
+                if is_main_process() else None
+            )
+            for a, v in zip(attr_list, values):
+                setattr(self, a, v)
+            return share(result)
+
+        return wrapper
+
+    return decorator
+
+
+def sync_errors(func: Callable) -> Callable:
+    """One process's exception raises OtherProcessError on its peers."""
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        state = ProcessState(func.__name__)
+        with state:
+            return func(*args, **kwargs)
+
+    return wrapper
+
+
+# --------------------------------------------------------------------------
+# error/READY state machine (reference mpi.py:350-467)
+# --------------------------------------------------------------------------
+class State:
+    NONE = "none"
+    READY = "ready"
+    END = "end"
+    ERROR = "error"
+
+
+class ProcessState:
+    """Cooperative run-state across processes.
+
+    Each process posts its state under a shared scope in the coordination KV
+    store; peers poll cheaply (``check_error``) during long computations.  On
+    exception, the state turns ERROR and peers raise
+    :class:`OtherProcessError` at their next check or sync point; if peers do
+    not end within ``error_timeout``, the process hard-aborts everyone
+    (matching the reference's MPI_Abort watchdog, mpi.py:445-461).
+    """
+
+    _active: list["ProcessState"] = []
+
+    def __init__(self, name: str = "run",
+                 error_timeout: float = default_error_timeout_seconds,
+                 timeout_abort_proc: Callable = abort_if_mpi):
+        self.name = f"{name}@{time.time_ns()}"
+        self.error_timeout = error_timeout
+        self.timeout_abort_proc = timeout_abort_proc
+        self._state = State.NONE
+
+    def _key(self, index: int) -> str:
+        return f"cobaya_tpu/state/{self.name}/{index}"
+
+    def set(self, state: str):
+        self._state = state
+        if more_than_one_process():
+            client = _distributed_client()
+            if client is not None:
+                client.key_value_set(self._key(process_index()), state,
+                                     allow_overwrite=True)
+
+    def peers_states(self) -> list[str]:
+        if not more_than_one_process():
+            return []
+        client = _distributed_client()
+        if client is None:
+            return []
+        states = []
+        for i in range(process_count()):
+            if i == process_index():
+                continue
+            try:
+                states.append(client.key_value_try_get(self._key(i)))
+            except Exception:
+                states.append(State.NONE)
+        return states
+
+    def check_error(self):
+        """Raise if any peer reported an error (poll during long loops)."""
+        if State.ERROR in self.peers_states():
+            raise OtherProcessError(
+                f"Another process failed during '{self.name}'."
+            )
+
+    def all_ready(self) -> bool:
+        states = self.peers_states()
+        return bool(states) and all(s == State.READY for s in states)
+
+    def wait_all_ended(self) -> bool:
+        deadline = time.time() + self.error_timeout
+        while time.time() < deadline:
+            states = self.peers_states()
+            if all(s in (State.END, State.ERROR) for s in states):
+                return True
+            time.sleep(0.1)
+        return False
+
+    def __enter__(self):
+        ProcessState._active.append(self)
+        self.set(State.NONE)
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        ProcessState._active.pop()
+        if exc_type is None:
+            self.set(State.END)
+            return False
+        if issubclass(exc_type, OtherProcessError):
+            self.set(State.END)
+            return False
+        self.set(State.ERROR)
+        if more_than_one_process() and not self.wait_all_ended():
+            log.critical(
+                "Peers did not end within %.1fs after an error; aborting.",
+                self.error_timeout,
+            )
+            self.timeout_abort_proc()
+        return False
+
+
+def get_current_state() -> ProcessState | None:
+    return ProcessState._active[-1] if ProcessState._active else None

@@ -1,0 +1,131 @@
+"""Auxiliary subsystems: CLI, doc/bib, rotations, coordination fallbacks."""
+
+import numpy as np
+import pytest
+
+
+def test_random_SO_N_is_haar_special_orthogonal():
+    import jax
+
+    from cobaya_tpu.ops.rotation import random_SO_N
+
+    keys = jax.random.split(jax.random.key(0), 200)
+    qs = np.asarray(jax.vmap(lambda k: random_SO_N(k, 4))(keys))
+    for q in qs[:10]:
+        assert np.allclose(q @ q.T, np.eye(4), atol=1e-5)
+        assert np.isclose(np.linalg.det(q), 1.0, atol=1e-4)
+    # columns uniform on the sphere: mean ~ 0
+    assert np.all(np.abs(qs[:, :, 0].mean(0)) < 0.15)
+
+
+def test_chi_squared_and_inverse_cholesky():
+    import jax.numpy as jnp
+
+    from cobaya_tpu.ops.rotation import chi_squared, inverse_cholesky_jax
+
+    cov = np.array([[2.0, 0.3], [0.3, 1.0]])
+    delta = np.array([[0.5, -0.2], [1.0, 0.0]])
+    expected = np.einsum("ni,ij,nj->n", delta, np.linalg.inv(cov), delta)
+    got = np.asarray(chi_squared(np.linalg.inv(cov), jnp.asarray(delta)))
+    assert np.allclose(got, expected, atol=1e-5)
+    invL = np.asarray(inverse_cholesky_jax(cov))
+    assert np.allclose(invL @ np.linalg.cholesky(cov), np.eye(2), atol=1e-5)
+
+
+def test_doc_lists_and_prints():
+    from cobaya_tpu.doc import doc
+
+    names = doc()
+    assert "gaussian_mixture" in names and "mcmc" in names
+    text = doc("mcmc", kind="sampler")
+    assert "proposal_scale" in text
+
+
+def test_bib_collects():
+    from cobaya_tpu.bib import get_bib_info
+
+    blocks = get_bib_info({
+        "likelihood": {"gaussian_mixture": {"means": [[0]], "covs": [[[1]]]}},
+        "params": {"x": {"prior": [0, 1]}},
+        "sampler": {"mcmc": None},
+    })
+    assert "framework" in blocks
+    assert "gaussian_mixture" in blocks
+
+
+def test_main_dispatcher_doc(capsys):
+    import sys
+
+    from cobaya_tpu.__main__ import run_command
+
+    argv = sys.argv
+    sys.argv = ["cobaya_tpu", "doc", "one"]
+    try:
+        run_command()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "one" in out
+
+
+def test_coordination_serial_fallbacks():
+    from cobaya_tpu.parallel import state as st
+
+    assert st.is_main_process()
+    assert st.share(42) == 42
+    assert st.gather(7) == [7]
+    assert st.allgather("x") == ["x"]
+    assert st.scatter([1, 2, 3]) == 1
+    assert st.zip_gather([1, 2]) == [(1,), (2,)]
+    st.barrier()
+
+    @st.from_root
+    def compute():
+        return {"a": 1}
+
+    assert compute() == {"a": 1}
+
+    @st.root_only
+    def only_root():
+        return "done"
+
+    assert only_root() == "done"
+
+
+def test_process_state_machine():
+    from cobaya_tpu.parallel.state import OtherProcessError, ProcessState
+
+    with ProcessState("test") as state:
+        state.check_error()  # no peers, no error
+    # exceptions propagate (and set the ERROR state)
+    with pytest.raises(ValueError):
+        with ProcessState("test2"):
+            raise ValueError("boom")
+
+
+def test_sync_errors_decorator():
+    from cobaya_tpu.parallel.state import sync_errors
+
+    @sync_errors
+    def fine():
+        return 5
+
+    assert fine() == 5
+
+    @sync_errors
+    def boom():
+        raise RuntimeError("x")
+
+    with pytest.raises(RuntimeError):
+        boom()
+
+
+def test_install_api_no_network():
+    from cobaya_tpu.install import install
+
+    # nothing to install for built-in analytic components
+    ok = install({
+        "likelihood": {"one": None},
+        "params": {"x": {"prior": [0, 1]}},
+    }, test=True)
+    assert ok
