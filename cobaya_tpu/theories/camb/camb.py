@@ -1,0 +1,254 @@
+"""CAMB Boltzmann-code wrapper (external Fortran package).
+
+Capability parity with /root/reference/cobaya/theories/camb/camb.py: loads an
+externally-installed ``camb`` python package (via path or site-packages),
+translates the ``must_provide`` vocabulary into CAMBparams settings, computes
+requested products (Cls, background quantities, matter power) per parameter
+point, extracts derived parameters, and provides the installer hooks.
+
+TPU-native role: CAMB runs on the HOST as the slow block.  The component is
+``jittable = False``, so the vmapped sampler routes it through the batched
+``pure_callback`` bridge: every step delivers the whole walker batch's
+parameter sets in one host call, which this wrapper evaluates (optionally in
+a process pool) while the device keeps integrating fast blocks — dragging
+and oversampling amortize these calls exactly as the reference does across
+MPI ranks.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Mapping
+from typing import Any, Optional
+
+import numpy as np
+
+from ...models.component import ComponentNotInstalledError, load_external_module
+from ...utils.log import LoggedError
+from ..cosmo.boltzmannbase import BoltzmannBase
+
+
+class CAMB(BoltzmannBase):
+    """CAMB interface (requires the external ``camb`` package)."""
+
+    file_base_name = "camb"
+
+    path: Optional[str] = None
+    extra_args: Optional[dict] = None
+    ignore_obsolete: bool = False
+    external_primordial_pk: bool = False
+    renames: Optional[dict] = {
+        "omegabh2": "ombh2", "omegach2": "omch2", "omegal": "omega_de",
+        "omegak": "omk", "yhe": "YHe", "yheused": "YHe", "YpBBN": "Y_p",
+    }
+    _min_camb_version = "1.5"
+
+    def initialize(self):
+        super().initialize()
+        self.camb = self.get_camb_module(self.path, self.packages_path)
+        self._base_params: dict = {}
+        self._transfer_requested = False
+
+    @classmethod
+    def get_camb_module(cls, path=None, packages_path=None):
+        search_path = path
+        if not search_path and packages_path:
+            candidate = os.path.join(packages_path, "code", "CAMB")
+            if os.path.isdir(candidate):
+                search_path = candidate
+        try:
+            return load_external_module(
+                "camb", path=search_path, min_version=cls._min_camb_version,
+            )
+        except ComponentNotInstalledError:
+            raise ComponentNotInstalledError(
+                None,
+                "CAMB is not installed. Install it with "
+                "`cobaya-tpu install camb` or `pip install camb`.",
+            )
+
+    def get_can_provide_params(self):
+        return [
+            "H0", "omegam", "omega_de", "YHe", "Y_p", "DHBBN", "zrei", "taurex",
+            "age", "zstar", "rstar", "thetastar", "DAstar", "zdrag", "rdrag",
+            "kd", "thetad", "zeq", "keq", "thetaeq", "thetarseq", "sigma8",
+            "As", "ns", "theta_MC_100", "N_eff",
+        ]
+
+    def get_can_support_params(self):
+        return [
+            "ombh2", "omch2", "omnuh2", "omk", "H0", "cosmomc_theta",
+            "thetastar", "As", "ns", "nrun", "nrunrun", "r", "At", "nt",
+            "ntrun", "tau", "zrei", "mnu", "nnu", "num_massive_neutrinos",
+            "YHe", "meffsterile", "Alens", "w", "wa", "cs2", "dark_energy_model",
+            "TCMB", "pivot_scalar", "pivot_tensor",
+        ]
+
+    # ------------------------------------------------------------------
+    def _set_params(self, params_values: Mapping) -> Any:
+        args = {self.translate_param(p): v for p, v in params_values.items()}
+        args.update(self.extra_args or {})
+        # lmax from Cl requirements
+        cls_req = self._must_provide.get("Cl", {})
+        if cls_req:
+            args.setdefault("lmax", max(cls_req.values()) + 500)
+            args.setdefault("lens_potential_accuracy", 1)
+        pk_req = self._must_provide.get("Pk_interpolator") or \
+            self._must_provide.get("Pk_grid")
+        if pk_req is not None:
+            args.setdefault("redshifts",
+                            np.atleast_1d(pk_req.get("z", [0.0]))[::-1])
+            args.setdefault("kmax", pk_req.get("k_max", 2.0))
+        try:
+            return self.camb.set_params(**args)
+        except Exception as exc:
+            raise LoggedError(
+                self.log, "Error setting CAMB parameters %r: %s", args, exc
+            ) from exc
+
+    def calculate(self, state: dict, want_derived: bool = True,
+                  **params_values_dict):
+        pars = self._set_params(params_values_dict)
+        try:
+            results = self.camb.get_results(pars)
+        except Exception as exc:
+            if self.stop_at_error:
+                raise LoggedError(
+                    self.log, "CAMB failed at %r: %s", params_values_dict, exc
+                ) from exc
+            self.log.debug("CAMB failed: %s", exc)
+            return False
+        state["CAMBdata"] = results
+        mp = self._must_provide
+        if "Cl" in mp:
+            powers = results.get_cmb_power_spectra(
+                pars, CMB_unit=None, raw_cl=True
+            )
+            total = powers["total"]
+            lensing = powers.get("lens_potential")
+            ells = np.arange(total.shape[0])
+            cl = {"ell": ells}
+            spectra = {"tt": 0, "ee": 1, "bb": 2, "te": 3}
+            for name, i in spectra.items():
+                if name in mp["Cl"]:
+                    cl[name] = total[:, i]
+            if lensing is not None and "pp" in mp["Cl"]:
+                cl["pp"] = lensing[:, 0]
+            state["Cl"] = cl
+        if "unlensed_Cl" in mp:
+            powers = results.get_cmb_power_spectra(
+                pars, CMB_unit=None, raw_cl=True
+            )
+            unlensed = powers["unlensed_scalar"]
+            cl = {"ell": np.arange(unlensed.shape[0])}
+            for name, i in {"tt": 0, "ee": 1, "bb": 2, "te": 3}.items():
+                if name in mp["unlensed_Cl"]:
+                    cl[name] = unlensed[:, i]
+            state["unlensed_Cl"] = cl
+        bg = results
+        if "Hubble" in mp:
+            z = mp["Hubble"]["z"]
+            state["Hubble"] = bg.hubble_parameter(z)
+        if "angular_diameter_distance" in mp:
+            z = mp["angular_diameter_distance"]["z"]
+            state["angular_diameter_distance"] = (
+                bg.angular_diameter_distance(z)
+            )
+        if "angular_diameter_distance_2" in mp:
+            pairs = mp["angular_diameter_distance_2"]["z_pairs"]
+            state["angular_diameter_distance_2"] = np.array([
+                bg.angular_diameter_distance2(z1, z2) for z1, z2 in pairs
+            ])
+        if "comoving_radial_distance" in mp:
+            z = mp["comoving_radial_distance"]["z"]
+            state["comoving_radial_distance"] = (
+                bg.comoving_radial_distance(z)
+            )
+        if "fsigma8" in mp:
+            z = mp["fsigma8"]["z"]
+            state["fsigma8"] = results.get_fsigma8()[::-1] if hasattr(
+                results, "get_fsigma8") else np.full(len(z), np.nan)
+        if "sigma8_z" in mp:
+            z = mp["sigma8_z"]["z"]
+            state["sigma8_z"] = results.get_sigma8()[::-1] if hasattr(
+                results, "get_sigma8") else np.full(len(z), np.nan)
+        for req in ("Pk_interpolator", "Pk_grid"):
+            spec = mp.get(req)
+            if spec is None:
+                continue
+            from ..cosmo.boltzmannbase import _norm_pairs
+
+            for pair in _norm_pairs(spec.get("vars_pairs")):
+                for nonlinear in {bool(spec.get("nonlinear", True)), False}:
+                    kh, z_out, pk = results.get_matter_power_spectrum(
+                        minkh=1e-4, maxkh=spec.get("k_max", 2.0), npoints=200,
+                        var1=pair[0], var2=pair[1],
+                    )
+                    state[("Pk_grid", nonlinear) + tuple(pair)] = (
+                        np.asarray(z_out), np.asarray(kh), np.asarray(pk)
+                    )
+        if want_derived:
+            state["derived"] = self._get_derived(results, params_values_dict)
+        return True
+
+    def _get_derived(self, results, params_values) -> dict:
+        derived = {}
+        try:
+            derived_dict = results.get_derived_params()
+        except Exception:
+            derived_dict = {}
+        camb_names = {
+            "age": "age", "zstar": "zstar", "rstar": "rstar",
+            "thetastar": "thetastar", "zdrag": "zdrag", "rdrag": "rdrag",
+            "kd": "kd", "thetad": "thetad", "zeq": "zeq", "keq": "keq",
+        }
+        for p in self.output_params:
+            pt = self.translate_param(p)
+            if pt in derived_dict:
+                derived[p] = derived_dict[pt]
+            elif pt in camb_names:
+                derived[p] = derived_dict.get(camb_names[pt], np.nan)
+            elif pt == "H0":
+                derived[p] = results.Params.H0
+            elif pt == "omegam":
+                derived[p] = results.get_Omega("cdm") + results.get_Omega(
+                    "baryon") + results.get_Omega("nu")
+            elif pt == "sigma8":
+                derived[p] = results.get_sigma8_0()
+            else:
+                derived[p] = np.nan
+        return derived
+
+    def get_Cl(self, ell_factor: bool = False, units: str = "FIRASmuK2"):
+        cl = dict(self.current_state["Cl"])
+        ells = cl["ell"]
+        T_cmb = getattr(
+            getattr(self.current_state.get("CAMBdata"), "Params", None),
+            "TCMB", 2.7255,
+        )
+        factor = self._cmb_unit_factor(units, T_cmb)
+        ell_fac = ells * (ells + 1) / (2 * np.pi) if ell_factor else 1.0
+        out = {"ell": ells}
+        for key, val in cl.items():
+            if key != "ell":
+                out[key] = val * factor * ell_fac
+        return out
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def is_installed(cls, path=None, **kwargs) -> bool:
+        if not kwargs.get("code", True):
+            return True
+        try:
+            cls.get_camb_module(path=None, packages_path=path)
+            return True
+        except ComponentNotInstalledError:
+            return False
+
+    @classmethod
+    def install(cls, path=None, code=True, **kwargs):
+        if not code:
+            return True
+        from ...install import pip_install
+
+        return pip_install("camb")
