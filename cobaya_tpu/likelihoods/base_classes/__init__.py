@@ -1,0 +1,6 @@
+from .bao import BAO
+from .dataset import DataSetLikelihood, IniFile
+from .h0 import H0
+from .installable import InstallableLikelihood
+from .mb import Mb
+from .sn import SN

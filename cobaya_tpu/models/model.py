@@ -530,6 +530,7 @@ class Model(HasLogger):
         self.provider.set_current_input_params(input_values)
         loglikes = np.full(len(self.likelihood), np.nan)
         outputs: dict[str, Any] = {}
+        states: dict[str, Any] = {}
         like_index = {
             like: i for i, like in enumerate(self.likelihood.values())
         }
@@ -538,10 +539,11 @@ class Model(HasLogger):
                 p: input_values[p] for p in comp.input_params
                 if p in input_values
             }
+            # cache key includes upstream components' state identities, so a
+            # change in a dependency invalidates this component's cache
             dep_params = tuple(
-                str(outputs.get(d)) for d in sorted(
-                    self._dependencies.get(comp.get_name(), ())
-                )
+                repr((states.get(d) or {}).get("_key"))
+                for d in sorted(self._dependencies.get(comp.get_name(), ()))
             )
             state = comp.check_cache_and_compute(
                 params, dependency_params=dep_params,
@@ -556,8 +558,8 @@ class Model(HasLogger):
                 return loglikes.tolist(), (
                     [np.nan] * n_der if return_derived else None
                 )
-            if return_derived:
-                outputs.update(state.get("derived") or {})
+            states[comp.get_name()] = state
+            outputs.update(state.get("derived") or {})
             if comp in like_index:
                 loglikes[like_index[comp]] = float(
                     np.asarray(state.get("logp"))
