@@ -1,3 +1,4 @@
+from .cmblikes import CMBlikes
 from .bao import BAO
 from .dataset import DataSetLikelihood, IniFile
 from .h0 import H0

