@@ -23,6 +23,12 @@ class BAO(InstallableLikelihood):
     type = "BAO"
     jittable = False
 
+    install_options = {
+        "github_repository": "CobayaSampler/bao_data",
+        "github_release": "v1.4",
+        "directory": "bao_data",
+    }
+
     measurements_file: Optional[str] = None
     cov_file: Optional[str] = None
     invcov_file: Optional[str] = None
@@ -118,14 +124,16 @@ class BAO(InstallableLikelihood):
         def Hz(zz):
             return float(provider.get_Hubble(zz)[0])
 
+        # rs_fid: data stored rescaled to a fiducial sound horizon
+        rs_fid = self.rs_fid or 0.0
         if quantity in ("f_sigma8", "fsigma8"):
             return float(provider.get_fsigma8(z)[0])
         if quantity == "Hz_rs":
-            return Hz(z) * rs
+            return Hz(z) * rs / (rs_fid or 1.0)
         if quantity == "DA_over_rs":
-            return DA(z) / rs
+            return DA(z) / rs * (rs_fid or 1.0)
         if quantity == "DM_over_rs":
-            return DA(z) * (1 + z) / rs
+            return DA(z) * (1 + z) / rs * (rs_fid or 1.0)
         if quantity in ("DV_over_rs", "rs_over_DV"):
             DM = DA(z) * (1 + z)
             DH = c / Hz(z)

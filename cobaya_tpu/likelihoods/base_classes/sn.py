@@ -21,6 +21,12 @@ class SN(InstallableLikelihood):
     type = "SN"
     jittable = False
 
+    install_options = {
+        "github_repository": "CobayaSampler/sn_data",
+        "github_release": "v1.6",
+        "directory": "sn_data",
+    }
+
     data_file: Optional[str] = None
     covmat_file: Optional[str] = None
     use_abs_mag: bool = False

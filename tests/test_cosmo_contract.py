@@ -179,3 +179,25 @@ def test_power_spectrum_interpolator():
         interp.P(0.5, 100.0)  # beyond extrap_kmax
     with pytest.raises(ValueError):
         interp.P(2.0, 0.01)  # z out of range
+
+
+def test_sixdf_bao_runs_with_mock():
+    info = {
+        "theory": {"mock": {"external": MockLCDM}},
+        "likelihood": {"bao.sixdf_2011_bao": None},
+        "params": dict(BASE_PARAMS),
+    }
+    model = get_model(info)
+    lp = model.logposterior([70.0, 0.3])
+    assert np.isfinite(lp.loglikes[0])
+    assert "chi2__BAO" in model.derived_names
+
+
+def test_component_name_resolution():
+    from cobaya_tpu.models.component import get_component_class
+
+    for name in ("H0.riess2020", "bao.sdss_dr12_consensus_bao",
+                 "sn.pantheon", "planck_2018_highl_plik.TT_lite",
+                 "_test", "one", "gaussian_mixture"):
+        cls = get_component_class(name, kind="likelihood")
+        assert cls is not None
