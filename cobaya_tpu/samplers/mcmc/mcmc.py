@@ -639,3 +639,54 @@ class MCMC(CovmatSampler):
                         cv.Extension.covmat):
                 regexps.append(None)
         return regexps
+
+
+def load_progress(prefix_or_file: str):
+    """Load a run's .progress table as a dict of column arrays."""
+    import os
+
+    fn = prefix_or_file
+    if not fn.endswith(cv.Extension.progress):
+        fn = prefix_or_file + ".mcmc" + cv.Extension.progress
+    if not os.path.exists(fn):
+        raise LoggedError(None, "Progress file not found: %s", fn)
+    rows = []
+    with open(fn, encoding="utf-8") as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            n, ts, acc, r, rcl = line.split()
+            rows.append((int(n), ts, float(acc), float(r), float(rcl)))
+    cols = list(zip(*rows)) if rows else [[]] * 5
+    return {
+        "N": np.array(cols[0]), "timestamp": list(cols[1]),
+        "acceptance_rate": np.array(cols[2]),
+        "Rminus1": np.array(cols[3]), "Rminus1_cl": np.array(cols[4]),
+    }
+
+
+def plot_progress(prefix_or_file: str, ax=None, show: bool = False):
+    """Plot acceptance rate and R-1 vs samples (reference mcmc.py:1223)."""
+    try:
+        import matplotlib.pyplot as plt
+    except ImportError as exc:
+        raise LoggedError(
+            None, "matplotlib is required for plot_progress: %s", exc
+        ) from exc
+    progress = load_progress(prefix_or_file)
+    if ax is None:
+        _, ax = plt.subplots(2, 1, sharex=True)
+    ax[0].plot(progress["N"], progress["acceptance_rate"], "o-")
+    ax[0].set_ylabel("acceptance rate")
+    ax[1].semilogy(progress["N"], progress["Rminus1"], "o-", label="means")
+    finite = np.isfinite(progress["Rminus1_cl"])
+    if finite.any():
+        ax[1].semilogy(progress["N"][finite],
+                       progress["Rminus1_cl"][finite], "x:",
+                       label="CL bounds")
+    ax[1].set_ylabel("R-1")
+    ax[1].set_xlabel("steps per walker")
+    ax[1].legend()
+    if show:
+        plt.show()
+    return ax
