@@ -100,12 +100,18 @@ def multichain_ess(records, burn_frac=0.5):
 
 
 def main():
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n-chains", type=int, default=1024)
+    parser.add_argument("--dim", type=int, default=50)
+    ns = parser.parse_args()
     t_setup = time.time()
     from cobaya_tpu.run import run
 
     import jax
 
-    info, cov = build_info()
+    info, cov = build_info(dim=ns.dim, n_chains=ns.n_chains)
     n_dev = len(jax.devices())
     t0 = time.time()
     _, sampler = run(info)

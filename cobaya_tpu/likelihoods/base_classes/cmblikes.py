@@ -40,10 +40,17 @@ class CMBlikes(DataSetLikelihood):
             "calibration_param", self.calibration_param or ""
         ) or None
         self.like_approx = ini.string("like_approx", "gaussian")
-        if self.like_approx not in ("gaussian",):
+        self.fsky = ini.float("fsky", 1.0)
+        if self.like_approx not in ("gaussian", "HL", "exact"):
             self.mpi_warning(
-                "like_approx '%s' not implemented natively yet; using the "
-                "Gaussian bandpower approximation.", self.like_approx,
+                "like_approx '%s' not implemented; using Gaussian.",
+                self.like_approx,
+            )
+            self.like_approx = "gaussian"
+        if self.like_approx == "HL" and len(self.use_cl) > 1:
+            self.mpi_warning(
+                "Cross-spectrum (matrix) HL not implemented yet; applying "
+                "the scalar HL transform per spectrum."
             )
         # bandpowers: rows = bins, columns = L_min L_max value [error]
         bp_file = ini.relativeFileName("cl_hat_file")
@@ -77,6 +84,19 @@ class CMBlikes(DataSetLikelihood):
         n = self.nbins * n_cl
         self.cov = cov.reshape(n, n)
         self.invcov = np.linalg.inv(self.cov)
+        # fiducial bandpowers (HL transform pivot) and noise bandpowers
+        self.cl_fiducial = None
+        self.cl_noise = None
+        fid_file = ini.relativeFileName("cl_fiducial_file", "")
+        if fid_file and os.path.exists(fid_file):
+            self.cl_fiducial = np.loadtxt(fid_file, ndmin=2)[:, 2:2 + n_cl]
+        noise_file = ini.relativeFileName("cl_noise_file", "")
+        if noise_file and os.path.exists(noise_file):
+            self.cl_noise = np.loadtxt(noise_file, ndmin=2)[:, 2:2 + n_cl]
+        if self.like_approx == "HL" and self.cl_fiducial is None:
+            raise LoggedError(
+                self.log, "HL approximation needs a 'cl_fiducial_file'."
+            )
 
     def get_requirements(self):
         return {"Cl": {cl: self.lmax for cl in self.use_cl}}
@@ -97,11 +117,46 @@ class CMBlikes(DataSetLikelihood):
             out[:, j] = self.windows[:, : len(cl)] @ cl
         return out
 
-    def logp(self, _derived=None, **params_values):
-        cl = self.provider.get_Cl(ell_factor=True, units="muK2")
-        theory = self.get_binned_theory(cl)
+    @staticmethod
+    def hl_transform_scalar(C, Chat, Cfhalf2):
+        """Scalar Hamimeche-Lewis transform (reference cmblikes.py:591,
+        1x1 branch): x = sign(r-1) sqrt(2 (r - ln r - 1)) * Cfid."""
+        rat = Chat / C
+        g = np.sign(rat - 1) * np.sqrt(
+            2 * np.maximum(0, rat - np.log(np.maximum(rat, 1e-30)) - 1)
+        )
+        return g * Cfhalf2
+
+    def exact_chi_sq_scalar(self, C, Chat, L):
+        """Exact full-sky (rescaled by fsky) chi2 for a single spectrum."""
+        rat = Chat / C
+        return (2 * L + 1) * self.fsky * (
+            rat - 1 - np.log(np.maximum(rat, 1e-30))
+        )
+
+    def log_likelihood(self, cl_dict, **params_values) -> float:
+        theory = self.get_binned_theory(cl_dict)
         if self.calibration_param:
             cal = params_values.get(self.calibration_param, 1.0)
             theory = theory / cal**2
-        delta = (theory - self.bandpowers).reshape(-1)
+        if self.cl_noise is not None:
+            theory = theory + self.cl_noise
+        data = self.bandpowers
+        if self.like_approx == "exact":
+            L_eff = (self.lmin_bins + self.lmax_bins) / 2
+            chisq = self.exact_chi_sq_scalar(
+                theory, data, L_eff[:, None]
+            ).sum()
+            return float(-0.5 * chisq)
+        if self.like_approx == "HL":
+            fid = self.cl_fiducial + (
+                self.cl_noise if self.cl_noise is not None else 0
+            )
+            x = self.hl_transform_scalar(theory, data, fid).reshape(-1)
+            return float(-0.5 * x @ self.invcov @ x)
+        delta = (theory - data).reshape(-1)
         return float(-0.5 * delta @ self.invcov @ delta)
+
+    def logp(self, _derived=None, **params_values):
+        cl = self.provider.get_Cl(ell_factor=True, units="muK2")
+        return self.log_likelihood(cl, **params_values)

@@ -95,3 +95,43 @@ def test_cmblikes_calibration_param(dataset_dir):
     lp1 = model.logposterior([1.0, 1.0]).loglikes[0]
     lp2 = model.logposterior([1.05**2, 1.05]).loglikes[0]
     assert np.isclose(lp1, lp2, atol=1e-4)
+
+
+def test_cmblikes_hl_and_exact(dataset_dir, tmp_path):
+    # add fiducial file = data (so HL pivot = data)
+    import shutil
+
+    d = tmp_path / "hl"
+    shutil.copytree(dataset_dir, d, dirs_exist_ok=True)
+    bp = np.loadtxt(os.path.join(dataset_dir, "bandpowers.dat"))
+    np.savetxt(d / "fiducial.dat", bp)
+    (d / "hl.dataset").write_text(
+        "use_cl = tt\n"
+        "like_approx = HL\n"
+        "cl_hat_file = bandpowers.dat\n"
+        "cl_fiducial_file = fiducial.dat\n"
+        "covmat_fiducial = cov.dat\n"
+    )
+    (d / "exact.dataset").write_text(
+        "use_cl = tt\n"
+        "like_approx = exact\n"
+        "fsky = 0.5\n"
+        "cl_hat_file = bandpowers.dat\n"
+        "covmat_fiducial = cov.dat\n"
+    )
+    for ds, atol in (("hl.dataset", 1e-6), ("exact.dataset", 1e-6)):
+        info = {
+            "theory": {"mock": {"external": MockCls}},
+            "likelihood": {"cmb": {
+                "class": "cobaya_tpu.likelihoods.base_classes.CMBlikes",
+                "dataset_file": os.path.join(str(d), ds),
+            }},
+            "params": {"Acmb": {"prior": [0.5, 2.0], "ref": 1.0,
+                                "proposal": 0.01}},
+        }
+        model = get_model(info)
+        lp_true = model.logposterior([1.0]).loglikes[0]
+        # theory == data at A=1 -> both HL and exact chi2 vanish
+        assert np.isclose(lp_true, 0.0, atol=atol), (ds, lp_true)
+        lp_off = model.logposterior([1.2]).loglikes[0]
+        assert lp_off < -1
