@@ -5,3 +5,5 @@ from .h0 import H0
 from .installable import InstallableLikelihood
 from .mb import Mb
 from .sn import SN
+from .planck_clik import PlanckClik
+from .planck_pliklite import PlanckPlikLite

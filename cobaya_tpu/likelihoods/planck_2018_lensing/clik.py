@@ -1,0 +1,9 @@
+"""Planck 2018 lensing via the official clik code
+(reference: cobaya/likelihoods/planck_2018_lensing/clik.py)."""
+
+from ..base_classes.planck_clik import PlanckClik
+
+
+class clik(PlanckClik):
+    clik_file = "baseline/plc_3.0/lensing/smicadx12_Dec5_ftl_mv2_ndclpp_p_teb_consext8.clik_lensing"
+    aliases = ["lensing"]

@@ -1,0 +1,67 @@
+"""Planck 2018 low-l SimAll EE likelihood (python-native probability table).
+
+Capability parity with /root/reference/cobaya/likelihoods/planck_2018_lowl/EE.py.
+Requires the planck_2018_lowE_native data package.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..base_classes.installable import InstallableLikelihood
+
+
+class EE(InstallableLikelihood):
+    install_options = {
+        "github_repository": "CobayaSampler/planck_native_data",
+        "github_release": "v1",
+        "asset": "planck_2018_lowE.zip",
+        "directory": "planck_2018_lowE_native",
+    }
+    type = "CMB"
+    jittable = False
+    aliases = ["lowE"]
+
+    _lmin = 2
+    _lmax = 29
+    _stepEE = 0.0001
+    _table_file_name = "prob_table.txt"
+
+    def initialize(self):
+        path = self.path or (
+            self.get_path(self.packages_path) if self.packages_path else None
+        )
+        if not path:
+            from ...models.component import ComponentNotInstalledError
+
+            raise ComponentNotInstalledError(
+                self.log, "Need the planck_2018_lowE_native data (install "
+                "with cobaya-tpu install, or set 'path').",
+            )
+        self.prob_table = np.loadtxt(
+            os.path.join(path, self._table_file_name)
+        )
+
+    def get_requirements(self):
+        return {"Cl": {"ee": self._lmax}}
+
+    def get_can_support_params(self):
+        return ["A_planck"]
+
+    def log_likelihood(self, cls_EE, calib: float = 1.0) -> float:
+        """Table lookup of the per-multipole EE probability."""
+        idx = (
+            np.asarray(cls_EE[self._lmin:self._lmax + 1])
+            / (calib**2 * self._stepEE)
+        ).astype(int)
+        if np.any(idx < 0) or np.any(idx >= self.prob_table.shape[0]):
+            self.log.debug("low-EE multipole out of table range; rejecting.")
+            return -np.inf
+        cols = np.arange(self.prob_table.shape[1])
+        return float(self.prob_table[idx, cols].sum())
+
+    def logp(self, _derived=None, **params_values):
+        cls = self.provider.get_Cl(ell_factor=True)["ee"]
+        return self.log_likelihood(cls, params_values.get("A_planck", 1))
