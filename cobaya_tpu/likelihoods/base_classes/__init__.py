@@ -1,3 +1,4 @@
+from .camspec import CamSpec, Planck2018CamSpecPython
 from .cmblikes import CMBlikes
 from .bao import BAO
 from .dataset import DataSetLikelihood, IniFile
