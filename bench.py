@@ -57,7 +57,7 @@ def build_info(dim=50, n_chains=1024):
                 "learn_every": "40d",
                 "records_per_epoch": 64,
                 # tunnel-TPU link moves ~0.5 MB/s: fetch a walker subsample
-                "fetch_chains": 32,
+                "fetch_chains": 8,
                 "max_samples": 200000,
             }
         },

@@ -309,21 +309,30 @@ class PowerSpectrumInterpolator:
         if grid is None:
             grid = z_arr.size > 1 or k_arr.size > 1
         logk = np.log(np.clip(k_arr, self._input_kmin, self._input_kmax))
-        out = self._spline(z_arr, logk, grid=grid)
+        if grid:
+            out = self._spline(z_arr, logk, grid=True)
+        else:
+            out = self._spline.ev(z_arr, logk)
         # power-law extrapolation outside the tabulated range (log space)
         if self.islog:
             lo = k_arr < self._input_kmin
             hi = k_arr > self._input_kmax
-            if np.any(lo) or np.any(hi):
-                out = np.atleast_2d(out)
-                for mask, slope, kedge in (
-                    (lo, self._slope_lo, self._input_kmin),
-                    (hi, self._slope_hi, self._input_kmax),
-                ):
-                    if np.any(mask):
-                        dlogk = np.log(k_arr[mask] / kedge)
-                        s = np.interp(z_arr, self.z, slope)
-                        out[:, mask] += s[:, None] * dlogk[None, :]
+            for mask, slope, kedge in (
+                (lo, self._slope_lo, self._input_kmin),
+                (hi, self._slope_hi, self._input_kmax),
+            ):
+                if not np.any(mask):
+                    continue
+                dlogk = np.log(k_arr[mask] / kedge)
+                if grid:
+                    out = np.atleast_2d(out)
+                    s = np.interp(z_arr, self.z, slope)
+                    out[:, mask] += s[:, None] * dlogk[None, :]
+                else:
+                    s = np.interp(z_arr[mask] if z_arr.size > 1
+                                  else np.full(mask.sum(), z_arr[0]),
+                                  self.z, slope)
+                    out[mask] += s * dlogk
         result = np.squeeze(out)
         return result if result.shape else float(result)
 
