@@ -180,6 +180,7 @@ class CovmatSampler(Sampler):
 
     covmat: Any = None
     covmat_params: Optional[list] = None
+    covmat_dirs: Optional[str] = None
     fallback_covmat_scale: float = 4.0
 
     def initial_proposal_covmat(self, auto_params=None) -> np.ndarray:
@@ -192,7 +193,23 @@ class CovmatSampler(Sampler):
         cov = np.full((d, d), np.nan)
         where = {}
         spec = self.covmat
-        if isinstance(spec, str) and spec.lower() != "auto":
+        if isinstance(spec, str) and spec.lower() == "auto":
+            auto = self._auto_covmat()
+            if auto:
+                where = {p: i for i, p in enumerate(auto["params"])
+                         if p in params}
+                for p, i in where.items():
+                    ip = params.index(p)
+                    for q, j in where.items():
+                        cov[ip, params.index(q)] = auto["covmat"][i, j]
+                self.mpi_info(
+                    "Selected automatic covmat '%s' (%d matching params).",
+                    auto.get("name"), len(where),
+                )
+            else:
+                self.mpi_info("No automatic covmat found; using fallbacks.")
+            spec = None
+        if isinstance(spec, str):
             cov_loaded, loaded_params = _load_covmat_file(spec)
             where = {p: i for i, p in enumerate(loaded_params) if p in params}
             for p, i in where.items():
@@ -257,6 +274,31 @@ class CovmatSampler(Sampler):
         # fill remaining nans (off-diagonal of partially-loaded) with 0
         cov = np.where(np.isnan(cov), 0.0, cov)
         return cov
+
+    def _auto_covmat(self):
+        """Covmat lookup: theory hook first, then the covmat library."""
+        for theory in getattr(self.model, "theory", {}).values():
+            try:
+                result = theory.get_auto_covmat(
+                    self.model.info().get("params"), self.model.info().get(
+                        "likelihood"),
+                )
+            except Exception:
+                result = None
+            if result:
+                return result
+        folder = getattr(self, "covmat_dirs", None) or os.environ.get(
+            "COBAYA_TPU_COVMAT_DIR"
+        )
+        if folder:
+            from ..cosmo_input.autoselect_covmat import get_best_covmat
+
+            renames = self.model.parameterization.sampled_params_renames()
+            aliases = []
+            for like in self.model.likelihood.values():
+                aliases += list(getattr(like, "aliases", []) or [])
+            return get_best_covmat(renames, aliases, folder)
+        return None
 
     def dump_covmat(self, covmat: np.ndarray):
         if not self.output:

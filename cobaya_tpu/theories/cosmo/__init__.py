@@ -1,0 +1,1 @@
+from .boltzmannbase import BoltzmannBase, PowerSpectrumInterpolator

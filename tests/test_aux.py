@@ -129,3 +129,49 @@ def test_install_api_no_network():
         "params": {"x": {"prior": [0, 1]}},
     }, test=True)
     assert ok
+
+
+def test_autoselect_covmat(tmp_path):
+    import numpy as np
+
+    from cobaya_tpu.cosmo_input.autoselect_covmat import get_best_covmat
+
+    cov = np.array([[0.04, 0.0], [0.0, 0.09]])
+    with open(tmp_path / "base_plikHM_TT.covmat", "w") as f:
+        f.write("# a b\n")
+        np.savetxt(f, cov)
+    with open(tmp_path / "other_BAO.covmat", "w") as f:
+        f.write("# c\n")
+        np.savetxt(f, [[1.0]])
+    best = get_best_covmat({"a": [], "b": ["beta"]}, ["plikHM_TT"],
+                           str(tmp_path))
+    assert best["name"] == "base_plikHM_TT.covmat"
+    assert np.allclose(best["covmat"], cov)
+
+
+def test_covmat_auto_option(tmp_path):
+    import numpy as np
+
+    from cobaya_tpu.run import run
+
+    cov = np.array([[0.0025, 0.0], [0.0, 0.0025]])
+    with open(tmp_path / "match_ab.covmat", "w") as f:
+        f.write("# a b\n")
+        np.savetxt(f, cov)
+    info = {
+        "params": {
+            "a": {"prior": [0, 1], "ref": 0.5},
+            "b": {"prior": [0, 1], "ref": 0.5},
+        },
+        "likelihood": {"gaussian_mixture": {
+            "means": [[0.5, 0.5]], "covs": [cov.tolist()],
+            "input_params": ["a", "b"],
+        }},
+        "sampler": {"mcmc": {
+            "seed": 3, "n_chains": 8, "max_samples": 60,
+            "covmat": "auto", "covmat_dirs": str(tmp_path),
+            "learn_proposal": False,
+        }},
+    }
+    _, sampler = run(info)
+    assert np.allclose(sampler._proposal.covmat, cov)
