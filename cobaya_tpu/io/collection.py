@@ -407,6 +407,12 @@ class SampleCollection(BaseCollection):
         out._load_file(file_name)
         return out
 
+    def to_pandas(self):
+        """Export as a pandas DataFrame (optional dependency)."""
+        import pandas as pd
+
+        return pd.DataFrame(self.data.copy(), columns=self.columns)
+
     def to_getdist(self, label=None):
         """Export as a getdist MCSamples (optional dependency)."""
         try:

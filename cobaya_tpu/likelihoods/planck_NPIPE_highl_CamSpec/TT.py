@@ -1,0 +1,11 @@
+"""Planck NPIPE (PR4) CamSpec TT
+(reference: cobaya/likelihoods/planck_NPIPE_highl_CamSpec/TT.py)."""
+
+from ..base_classes.camspec2021 import Planck2020CamSpecPython
+
+
+class TT(Planck2020CamSpecPython):
+    dataset_file = "CamSpec_NPIPE/CamSpec_NPIPE_12_6.dataset"
+    use_cl = "100x100 143x143 217x217 143x217".split()
+    aliases = ["CamSpecNPIPE_TT"]
+    speed = 50

@@ -1,0 +1,11 @@
+"""Planck NPIPE (PR4) CamSpec TTTEEE
+(reference: cobaya/likelihoods/planck_NPIPE_highl_CamSpec/TTTEEE.py)."""
+
+from ..base_classes.camspec2021 import Planck2020CamSpecPython
+
+
+class TTTEEE(Planck2020CamSpecPython):
+    dataset_file = "CamSpec_NPIPE/CamSpec_NPIPE_12_6.dataset"
+    use_cl = "100x100 143x143 217x217 143x217 TE EE".split()
+    aliases = ["CamSpecNPIPE_TTTEEE"]
+    speed = 50

@@ -175,3 +175,54 @@ def test_covmat_auto_option(tmp_path):
     }
     _, sampler = run(info)
     assert np.allclose(sampler._proposal.covmat, cov)
+
+
+def test_evaluate_sampler():
+    import numpy as np
+
+    from cobaya_tpu.run import run
+
+    info = {
+        "params": {"x": {"prior": [0, 1], "ref": 0.3}},
+        "likelihood": {"gaussian_mixture": {
+            "means": [[0.5]], "covs": [[[0.01]]], "input_params": ["x"]}},
+        "sampler": {"evaluate": {"N": 3, "override": {"x": 0.5}}},
+    }
+    _, sampler = run(info)
+    sample = sampler.products()["sample"]
+    assert len(sample) == 3
+    assert np.allclose(sample["x"], 0.5)
+    # logpost at the peak of the gaussian
+    from scipy.stats import norm
+
+    expected = norm(0.5, 0.1).logpdf(0.5)
+    assert np.allclose(-sample["minuslogpost"], expected, atol=1e-5)
+
+
+def test_collection_to_pandas():
+    import numpy as np
+
+    from cobaya_tpu.io.collection import SampleCollection
+
+    coll = SampleCollection(sampled_params=["a"], derived_params=[],
+                            prior_names=["0"], like_names=["l"])
+    coll.add([0.5], weight=2, logpriors=[-1.0], loglikes=[-2.0])
+    df = coll.to_pandas()
+    assert list(df.columns) == coll.columns
+    assert df["weight"][0] == 2
+
+
+def test_dump_timing():
+    from cobaya_tpu.models.model import get_model
+
+    info = {
+        "params": {"x": {"prior": [0, 1], "ref": 0.5}},
+        "likelihood": {"gaussian_mixture": {
+            "means": [[0.5]], "covs": [[[0.01]]], "input_params": ["x"]}},
+        "timing": True,
+    }
+    model = get_model(info)
+    for _ in range(3):
+        model.logposterior([0.4], cached=False)
+    rows = model.dump_timing()
+    assert rows and rows[0][2] >= 1  # (name, avg, n_evals)
