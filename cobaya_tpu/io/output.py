@@ -36,7 +36,7 @@ class FileLock(HasLogger):
         self._fd = None
 
     def acquire(self, force: bool = False):
-        if force and os.path.exists(self.lock_file):
+        if os.path.exists(self.lock_file) and (force or self._holder_dead()):
             os.remove(self.lock_file)
         try:
             self._fd = os.open(
@@ -46,10 +46,29 @@ class FileLock(HasLogger):
         except FileExistsError as exc:
             raise LoggedError(
                 self.log,
-                "Output prefix is locked by another run (%s). If no other "
-                "process is using it, delete the lock file or use force=True.",
-                self.lock_file,
+                "Output prefix is locked by another live run (%s). Starting "
+                "a second run on the same prefix would corrupt its products; "
+                "if the other process is unrelated, use a different output "
+                "prefix, or delete the lock file if you are sure it is "
+                "stale.", self.lock_file,
             ) from exc
+
+    def _holder_dead(self) -> bool:
+        """Whether the lock-holding process no longer exists (stale lock)."""
+        try:
+            with open(self.lock_file, encoding="utf-8") as f:
+                pid = int(f.read().strip() or 0)
+        except (OSError, ValueError):
+            return True
+        if pid <= 0:
+            return True
+        try:
+            os.kill(pid, 0)
+            return False
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            return False
 
     def release(self):
         if self._fd is not None:
@@ -133,7 +152,7 @@ class Output(OutputReadOnly):
         if self.folder and not os.path.exists(self.folder):
             os.makedirs(self.folder, exist_ok=True)
         self.lock = FileLock(self.add_suffix("", separator="."))
-        self.lock.acquire(force=True)  # takeover stale locks of same prefix
+        self.lock.acquire()  # stale (dead-PID) locks are taken over
         existing = os.path.exists(self.file_updated)
         if existing:
             if force:

@@ -226,3 +226,26 @@ def test_dump_timing():
         model.logposterior([0.4], cached=False)
     rows = model.dump_timing()
     assert rows and rows[0][2] >= 1  # (name, avg, n_evals)
+
+
+def test_filelock_blocks_live_and_takes_over_stale(tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from cobaya_tpu.io.output import FileLock
+    from cobaya_tpu.utils.log import LoggedError
+
+    base = str(tmp_path / "run")
+    lock1 = FileLock(base)
+    lock1.acquire()
+    lock2 = FileLock(base)
+    with _pytest.raises(LoggedError):
+        lock2.acquire()  # held by a live process (us)
+    lock1.release()
+    # stale lock with dead pid gets taken over
+    with open(base + ".locked", "w") as f:
+        f.write("999999999")
+    lock3 = FileLock(base)
+    lock3.acquire()
+    lock3.release()
