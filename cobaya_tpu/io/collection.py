@@ -343,6 +343,12 @@ class SampleCollection(BaseCollection):
                               for i, c in enumerate(self.columns)) + "\n"
 
     def format_rows(self, rows: np.ndarray) -> str:
+        # native C++ formatter when available (io/_fastio.cpp), else Python
+        from . import native
+
+        text = native.format_rows(np.atleast_2d(rows))
+        if text is not None:
+            return text
         lines = []
         for row in np.atleast_2d(rows):
             lines.append(" ".join(_OUT_FMT % v for v in row))

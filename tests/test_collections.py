@@ -105,3 +105,31 @@ def test_reweight():
     new = coll.reweight(np.linspace(0, 1, 100))
     assert len(new) == 99  # zero-weight row dropped
     assert len(coll) == 100  # original untouched
+
+
+def test_native_formatter_matches_python():
+    import time
+
+    from cobaya_tpu.io import native
+
+    rng = np.random.default_rng(0)
+    rows = rng.normal(size=(200, 9)) * 10.0 ** rng.integers(-8, 8, (200, 9))
+    rows[0, 0] = np.inf
+    rows[1, 1] = -np.inf
+    rows[2, 2] = 0.0
+    text = native.format_rows(rows)
+    if text is None:
+        pytest.skip("no compiler available")
+    expected = "\n".join(
+        " ".join("%17.8g" % v for v in row) for row in rows
+    ) + "\n"
+    assert text == expected
+    # throughput sanity: native beats python on a large block
+    big = rng.normal(size=(20000, 20))
+    t0 = time.perf_counter()
+    native.format_rows(big)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    "\n".join(" ".join("%17.8g" % v for v in row) for row in big[:2000])
+    t_python = (time.perf_counter() - t0) * 10
+    assert t_native < t_python
