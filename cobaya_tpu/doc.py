@@ -11,7 +11,7 @@ from .models.component import (
     get_available_internal_class_names,
     get_component_class,
 )
-from .utils.log import LoggedError, logger_setup
+from .utils.log import logger_setup
 from .utils.yamlio import yaml_dump
 
 

@@ -4,9 +4,7 @@ from __future__ import annotations
 
 import argparse
 import os
-import subprocess
-import sys
-from typing import Any, Mapping, Optional
+from typing import Mapping, Optional
 
 from ..models.input_ import load_input_dict
 from ..utils.log import LoggedError, get_logger, logger_setup

@@ -17,7 +17,7 @@ accepted-point + weight chain format exactly when thin == 1.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

@@ -15,7 +15,6 @@ cross-spectra (100x100, 143x143, 217x217, 143x217), 4 is TE, 5 is EE.
 
 from __future__ import annotations
 
-import hashlib
 import os
 from typing import Optional
 

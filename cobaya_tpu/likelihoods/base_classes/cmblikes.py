@@ -18,7 +18,7 @@ spectrum, so the whole likelihood is jittable when data are loaded
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 

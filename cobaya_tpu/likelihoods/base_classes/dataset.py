@@ -8,7 +8,7 @@ including an own IniFile reader (the reference borrows getdist's).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 

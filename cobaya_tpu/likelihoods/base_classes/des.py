@@ -17,7 +17,7 @@ vectorize in numpy (and map directly onto the MXU if moved on-device later).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 

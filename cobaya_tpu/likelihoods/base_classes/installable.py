@@ -11,7 +11,7 @@ ops.rotation).
 from __future__ import annotations
 
 import os
-from typing import Any, ClassVar, Optional
+from typing import ClassVar, Optional
 
 from ...models.likelihood import Likelihood
 from ...ops.rotation import chi_squared

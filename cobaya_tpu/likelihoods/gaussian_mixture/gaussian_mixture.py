@@ -14,7 +14,7 @@ jitted step and vectorizes over walker batches.
 from __future__ import annotations
 
 import time
-from typing import Any, Optional, Sequence, Union
+from typing import Sequence, Union
 
 import numpy as np
 

@@ -11,7 +11,6 @@ resume-compatibility diff honoring per-class resume preferences.
 from __future__ import annotations
 
 import os
-import platform
 from collections.abc import Mapping
 from typing import Any
 
@@ -19,14 +18,13 @@ from ..utils import conventions as cv
 from ..utils.log import LoggedError, get_logger
 from ..utils.tools import (
     deepcopy_where_possible,
-    fuzzy_match,
     recursive_update,
     str_to_list,
 )
 from ..utils.typing_ import InputDict
 from ..utils.yamlio import yaml_load, yaml_load_file
 from .component import get_component_class
-from .parameterization import expand_info_param, is_derived_param, reduce_info_param
+from .parameterization import expand_info_param, reduce_info_param
 
 log = get_logger("input")
 

@@ -14,8 +14,8 @@ cobaya-style scripted API.
 
 from __future__ import annotations
 
-from collections.abc import Mapping, Sequence
-from typing import Any, Callable, Optional
+from collections.abc import Mapping
+from typing import Any, Optional
 
 import numpy as np
 

@@ -16,7 +16,7 @@ fuses them).  The function maps over walker batches with ``vmap`` for free.
 from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
-from typing import Any, Callable
+from typing import Any
 
 import numpy as np
 

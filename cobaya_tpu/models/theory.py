@@ -18,10 +18,9 @@ from __future__ import annotations
 
 from collections import deque
 from collections.abc import Mapping, Sequence
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 from ..utils.log import LoggedError
-from ..utils.tools import str_to_list
 from .component import CobayaComponent, ComponentCollection
 
 

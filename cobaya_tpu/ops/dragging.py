@@ -17,7 +17,7 @@ work pattern that makes dragging pay off for expensive slow components.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 from . import moments as mom_ops
 from .metropolis import EpochRecord, MCMCCarry

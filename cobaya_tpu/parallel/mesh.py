@@ -17,7 +17,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..utils.log import LoggedError, get_logger
+from ..utils.log import get_logger
 
 log = get_logger("parallel")
 

@@ -17,7 +17,7 @@ throughput.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Union
+from typing import Any, Union
 
 import numpy as np
 
@@ -27,7 +27,7 @@ from .models.input_ import load_input_dict, update_info
 from .models.model import Model
 from .utils import conventions as cv
 from .utils.log import LoggedError, get_logger, logger_setup
-from .utils.tools import deepcopy_where_possible, recursive_update, str_to_list
+from .utils.tools import deepcopy_where_possible, str_to_list
 
 log = get_logger("post")
 

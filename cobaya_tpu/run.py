@@ -15,7 +15,6 @@ from typing import Optional
 
 from .models.input_ import load_info_overrides, load_input_dict, update_info
 from .models.model import Model
-from .utils import conventions as cv
 from .utils.log import LoggedError, get_logger, logger_setup
 from .utils.tools import recursive_update
 

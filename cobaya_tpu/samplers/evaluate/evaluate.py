@@ -10,8 +10,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import numpy as np
-
 from ...io.collection import SampleCollection
 from ...utils.log import LoggedError
 from ..sampler import Sampler

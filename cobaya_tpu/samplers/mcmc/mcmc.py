@@ -22,7 +22,7 @@ learning a new proposal never recompiles.
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Optional, Union
+from typing import Callable, Optional, Union
 
 import numpy as np
 

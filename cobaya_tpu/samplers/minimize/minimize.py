@@ -16,12 +16,11 @@ back to scipy's derivative-free methods.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Union
+from typing import Optional, Union
 
 import numpy as np
 
 from ...io.collection import SampleCollection
-from ...utils import conventions as cv
 from ...utils.log import LoggedError
 from ...utils.tools import read_dnumber
 from ..sampler import CovmatSampler

@@ -10,8 +10,6 @@ accepted but ignored with a notice.
 
 from __future__ import annotations
 
-from typing import Any, Optional
-
 from ..nested.nested import Nested
 
 _IGNORED = {

@@ -10,7 +10,7 @@ into one call per step).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 

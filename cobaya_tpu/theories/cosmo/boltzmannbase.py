@@ -15,7 +15,7 @@ across CPU processes — the framework's "slow block".
 
 from __future__ import annotations
 
-from collections.abc import Mapping, Sequence
+from collections.abc import Mapping
 from typing import Any, Optional
 
 import numpy as np
@@ -23,7 +23,7 @@ import numpy as np
 from ...models.theory import Theory
 from ...utils.conventions import Const
 from ...utils.log import LoggedError
-from ...utils.tools import Pool1D, Pool2D, str_to_list
+from ...utils.tools import Pool1D, Pool2D
 
 
 class BoltzmannBase(Theory):
