@@ -600,6 +600,20 @@ class MCMC(CovmatSampler):
         checkpoint = self.read_checkpoint_info() or {}
         self._checks_passed = int(checkpoint.get("checks_passed", 0))
         self.Rminus1_last = float(checkpoint.get("Rminus1_last", np.inf))
+        self.Rminus1_cl_last = float(checkpoint.get("Rminus1_cl_last",
+                                                    np.inf))
+        # a previously-converged run only stays converged if it still meets
+        # the (possibly changed) stopping criteria (reference sampler.py:349)
+        if bool(checkpoint.get("converged")):
+            self.converged = (
+                self.Rminus1_last < self.Rminus1_stop
+                and self.Rminus1_cl_last < self.Rminus1_cl_stop
+            )
+            if not self.converged:
+                self.mpi_info(
+                    "Resumed run was converged under the old criteria but "
+                    "not the current ones; continuing sampling."
+                )
         self._set_proposal(np.atleast_2d(data["covmat"]))
         self.mpi_info("Resumed at %d steps/walker.", self.n_steps)
 

@@ -143,3 +143,23 @@ def test_mcmc_temperature():
     sample = sampler.products()["sample"]
     assert sample.temperature == 2
     check_gaussian(info, sample, tol=0.1)
+
+
+def test_resume_unconverges_on_stricter_criteria(tmp_path):
+    prefix = str(tmp_path / "chains" / "g3")
+    info = random_gaussian_info(dim=2, random_state=29)
+    info["output"] = prefix
+    info["sampler"] = {"mcmc": {"seed": 7, "n_chains": 64,
+                                "max_samples": 30000,
+                                "Rminus1_stop": 0.05,
+                                "Rminus1_cl_stop": 1.0}}
+    _, s1 = run(info)
+    assert s1.converged
+    # resume with the same criteria: nothing more to do
+    _, s2 = run(info, resume=True)
+    assert s2.converged and s2.n_steps == s1.n_steps
+    # stricter criterion: resumes sampling
+    info["sampler"]["mcmc"]["Rminus1_stop"] = 0.02
+    _, s3 = run(info, resume=True)
+    assert s3.n_steps > s1.n_steps
+    assert s3.converged
