@@ -175,13 +175,17 @@ def make_drag_epoch_fn(
                 rejects_streak=jnp.where(
                     accept, 0, carry.rejects_streak + slow_ok
                 ),
-                mom=mom_ops.update(carry.mom, x),
-                mom2=mom_ops.update(carry.mom2, x),
+                mom=carry.mom,
+                mom2=carry.mom2,
                 cache=cache,
             ), None
 
         def outer_step(carry, _):
             carry, _ = jax.lax.scan(one_cycle, carry, None, length=thin)
+            carry = carry._replace(
+                mom=mom_ops.update(carry.mom, carry.x),
+                mom2=mom_ops.update(carry.mom2, carry.x),
+            )
             rec = EpochRecord(
                 x=carry.x, logpost=carry.logpost, logpriors=carry.logpriors,
                 loglikes=carry.loglikes, derived=carry.derived,

@@ -126,8 +126,12 @@ def make_epoch_fn(
             rejects_streak=jnp.where(
                 accept, 0, carry.rejects_streak + prior_ok
             ),
-            mom=mom_ops.update(carry.mom, new_x),
-            mom2=mom_ops.update(carry.mom2, new_x),
+            # moments are updated at record boundaries (in `epoch` below):
+            # with thin << autocorrelation time the thinned stream carries
+            # nearly all the information, at 1/thin the HBM traffic of the
+            # (C, d, d) accumulators
+            mom=carry.mom,
+            mom2=carry.mom2,
             cache=new_cache,
         )
         return new_carry
@@ -140,6 +144,10 @@ def make_epoch_fn(
                                 scale), None
 
             carry, _ = jax.lax.scan(inner_step, carry, block_indices_thin)
+            carry = carry._replace(
+                mom=mom_ops.update(carry.mom, carry.x),
+                mom2=mom_ops.update(carry.mom2, carry.x),
+            )
             rec = EpochRecord(
                 x=carry.x,
                 logpost=carry.logpost,
