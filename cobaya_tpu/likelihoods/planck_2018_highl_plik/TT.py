@@ -1,0 +1,9 @@
+"""Planck 2018 high-l plik TT via the official clik code
+(reference: cobaya/likelihoods/planck_2018_highl_plik/TT.py)."""
+
+from ..base_classes.planck_clik import PlanckClik
+
+
+class TT(PlanckClik):
+    clik_file = "baseline/plc_3.0/hi_l/plik/plik_rd12_HM_v22_TT.clik"
+    aliases = ["plikHM_TT"]
