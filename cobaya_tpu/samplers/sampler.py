@@ -316,7 +316,7 @@ class CovmatSampler(Sampler):
             self.get_name() + cv.Extension.covmat, separator="."
         )
         if os.path.exists(fn):
-            return np.loadtxt(fn)
+            return np.atleast_2d(np.loadtxt(fn))
         return None
 
 

@@ -1,0 +1,80 @@
+"""CLI entry points end-to-end (subprocess), mirroring tests/test_scripts.py
+of the reference."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ENV = dict(
+    os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+    XLA_FLAGS="--xla_force_host_platform_device_count=2",
+)
+
+YAML = """
+params:
+  a:
+    prior: [0, 1]
+    ref: 0.5
+    proposal: 0.05
+likelihood:
+  gaussian_mixture:
+    means: [[0.5]]
+    covs: [[[0.01]]]
+    input_params: [a]
+sampler:
+  mcmc:
+    seed: 1
+    n_chains: 8
+    max_samples: 120
+    output_chains: 1
+output: {prefix}
+"""
+
+
+def _run(args, cwd=None):
+    return subprocess.run(
+        [sys.executable, "-m", "cobaya_tpu", *args],
+        capture_output=True, text=True, env=ENV, cwd=cwd, timeout=300,
+    )
+
+
+def test_cli_run(tmp_path):
+    prefix = str(tmp_path / "chains" / "c")
+    infile = tmp_path / "in.yaml"
+    infile.write_text(YAML.format(prefix=prefix))
+    result = _run(["run", str(infile)])
+    assert result.returncode == 0, result.stdout + result.stderr
+    assert os.path.exists(prefix + ".1.txt")
+    assert os.path.exists(prefix + ".updated.yaml")
+    # resume via CLI
+    result = _run(["run", str(infile), "--resume"])
+    assert result.returncode == 0, result.stdout + result.stderr
+
+
+def test_cli_run_test_flag(tmp_path):
+    prefix = str(tmp_path / "chains" / "t")
+    infile = tmp_path / "in.yaml"
+    infile.write_text(YAML.format(prefix=prefix))
+    result = _run(["run", str(infile), "--test"])
+    assert result.returncode == 0, result.stdout + result.stderr
+    assert "Test initialization successful" in (result.stdout
+                                                + result.stderr)
+    assert not os.path.exists(prefix + ".1.txt")
+
+
+def test_cli_doc_and_bib():
+    result = _run(["doc", "mcmc"])
+    assert result.returncode == 0 and "proposal_scale" in result.stdout
+    result = _run(["doc"])
+    assert "gaussian_mixture" in result.stdout
+    result = _run(["bib", "mcmc"])
+    assert result.returncode == 0
+
+
+def test_cli_unknown_command():
+    result = _run(["frobnicate"])
+    assert result.returncode == 1
+    assert "Unknown command" in result.stdout
