@@ -921,6 +921,8 @@ class Model(HasLogger):
         out_names = list(spec)
 
         def host_eval(*arrays):
+            if comp.timer:
+                comp.timer.start()
             arrays = [np.asarray(a) for a in arrays]
             batch_shape = arrays[0].shape if arrays else ()
             flat = [a.reshape(-1) for a in arrays]
@@ -939,6 +941,8 @@ class Model(HasLogger):
                     values = {**state, **(state.get("derived") or {})}
                 for k in out_names:
                     results[k][i] = values.get(k, np.nan)
+            if comp.timer:
+                comp.timer.increment()
             return tuple(
                 results[k].reshape(batch_shape + spec[k].shape)
                 for k in out_names
