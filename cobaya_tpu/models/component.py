@@ -169,10 +169,24 @@ class HasDefaults:
 
     @classmethod
     def get_annotations(cls) -> dict:
-        annotations: dict = {}
-        for klass in reversed(cls.__mro__):
-            annotations.update(getattr(klass, "__annotations__", {}) or {})
-        return annotations
+        """Merged (resolved) type annotations over the class hierarchy.
+
+        Annotations are stored as strings under ``from __future__ import
+        annotations``; resolve them so runtime type validation sees real
+        types (unresolvable ones are kept as strings and skipped by the
+        validator).
+        """
+        import typing
+
+        try:
+            return dict(typing.get_type_hints(cls))
+        except Exception:
+            annotations: dict = {}
+            for klass in reversed(cls.__mro__):
+                annotations.update(
+                    getattr(klass, "__annotations__", {}) or {}
+                )
+            return annotations
 
     @classmethod
     def get_desc(cls, info=None) -> str:

@@ -143,10 +143,19 @@ class Theory(CobayaComponent):
         """Eager computation: fill ``state['derived']`` and products.
 
         Default implementation delegates to :meth:`calculate_jax` so that
-        jittable components only implement one method.
+        jittable components only implement one method.  Upstream products are
+        exposed under each provider component's name (the same view the
+        jitted path threads through), backed by their current states.
         """
+        provider_products = {}
+        if self.provider is not None:
+            for comp in self.provider.requirement_providers.values():
+                provider_products.setdefault(
+                    comp.get_name(), comp.current_state
+                )
         products, derived = self.calculate_jax(
-            params_values_dict, want_derived=want_derived
+            params_values_dict, want_derived=want_derived,
+            provider_products=provider_products,
         )
         state.update(products if isinstance(products, Mapping) else
                      {"products": products})

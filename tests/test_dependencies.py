@@ -1,0 +1,125 @@
+"""Requirement DAG: chained providers, conditional requirements, cycles.
+
+Mirrors /root/reference/tests/test_dependencies.py behaviors.
+"""
+
+import numpy as np
+import pytest
+
+from cobaya_tpu.models.model import get_model
+from cobaya_tpu.models.theory import Theory
+from cobaya_tpu.utils.log import LoggedError
+
+
+class A(Theory):
+    """Provides 'a_sq'; conditionally requires nothing."""
+
+    def get_requirements(self):
+        return {"x": None}
+
+    def get_can_provide(self):
+        return ["a_sq"]
+
+    def calculate_jax(self, params, want_derived=True,
+                      provider_products=None):
+        return {"a_sq": params["x"] ** 2}, {}
+
+
+class B(Theory):
+    """Provides 'b_val' from A's product; declares the need only when asked
+    (conditional requirement through must_provide)."""
+
+    _needs_a = False
+
+    def get_can_provide(self):
+        return ["b_val"]
+
+    def must_provide(self, **requirements):
+        if "b_val" in requirements:
+            self._needs_a = True
+            return {"a_sq": None}
+        return None
+
+    def calculate_jax(self, params, want_derived=True,
+                      provider_products=None):
+        a_sq = provider_products["A"]["a_sq"]
+        return {"b_val": 3.0 * a_sq}, {}
+
+
+def like_with_b(_self=None):
+    return -0.5 * _self.provider.get_result("b_val")
+
+
+def test_chained_conditional_requirements():
+    info = {
+        "theory": {"A": {"external": A}, "B": {"external": B}},
+        "likelihood": {"uses_b": {
+            "external": like_with_b,
+            "requires": {"b_val": None},
+            "input_params": [],
+        }},
+        "params": {"x": {"prior": [0, 2]}},
+    }
+    model = get_model(info)
+    # B registered its conditional requirement on A
+    assert model.likelihood["uses_b"] is not None
+    lp = model.logposterior([1.5])
+    assert np.isclose(lp.loglikes[0], -0.5 * 3.0 * 1.5**2, atol=1e-5)
+    # topological order: A before B before the likelihood
+    order = [c.get_name() for c in model._component_order]
+    assert order.index("A") < order.index("B") < order.index("uses_b")
+
+
+def test_unprovidable_requirement_raises():
+    info = {
+        "likelihood": {"needs_magic": {
+            "external": lambda _self=None: 0.0,
+            "requires": {"magic_product": None},
+            "input_params": [],
+        }, "one": None},
+        "params": {"x": {"prior": [0, 1]}},
+    }
+    with pytest.raises(LoggedError):
+        get_model(info)
+
+
+def test_circular_dependency_raises():
+    class C1(Theory):
+        def get_requirements(self):
+            return {"p2": None}
+
+        def get_can_provide(self):
+            return ["p1"]
+
+    class C2(Theory):
+        def get_requirements(self):
+            return {"p1": None}
+
+        def get_can_provide(self):
+            return ["p2"]
+
+    info = {
+        "theory": {"C1": {"external": C1}, "C2": {"external": C2}},
+        "likelihood": {"one": None},
+        "params": {"x": {"prior": [0, 1]}},
+    }
+    with pytest.raises(LoggedError):
+        get_model(info)
+
+
+def test_type_checking_enforced():
+    """Strict type validation of component options (conftest enables it)."""
+    from cobaya_tpu.utils import typing_
+
+    assert typing_.enforce_type_checking
+    info = {
+        "likelihood": {"gaussian_mixture": {
+            "means": [[0.5]], "covs": [[[0.01]]], "input_params": ["x"],
+        }},
+        "params": {"x": {"prior": [0, 1]}},
+        "sampler": {"mcmc": {"proposal_scale": "not-a-number"}},
+    }
+    from cobaya_tpu.run import run
+
+    with pytest.raises((LoggedError, TypeError)):
+        run(info)
