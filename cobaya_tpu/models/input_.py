@@ -30,11 +30,18 @@ log = get_logger("input")
 
 
 def load_input_dict(info_or_yaml_or_file) -> InputDict:
-    """Accept a dict, a path to a YAML file, or a YAML string."""
+    """Accept a dict, a path to a YAML/.dill file, or a YAML string."""
     if isinstance(info_or_yaml_or_file, Mapping):
         return deepcopy_where_possible(dict(info_or_yaml_or_file))
     if isinstance(info_or_yaml_or_file, (str, os.PathLike)):
         text = str(info_or_yaml_or_file)
+        if text.endswith((".dill", ".dill_pickle", ".pkl", ".pickle")):
+            try:
+                import dill as pickler  # type: ignore
+            except ImportError:
+                import pickle as pickler
+            with open(text, "rb") as f:
+                return pickler.load(f)
         if os.path.exists(text) or text.endswith((".yaml", ".yml")):
             return yaml_load_file(text) or {}
         if "\n" in text or ":" in text:

@@ -449,6 +449,8 @@ class MCMC(CovmatSampler):
         """
         if not hasattr(self, "_last_stats"):
             return
+        if self.model.timing:
+            self.model.dump_timing()
         self.Rminus1_last = self._last_stats["rminus1"]
         self.mpi_info(
             "Convergence check: R-1(means) = %.4g (stop at %.3g) after %d "
