@@ -31,6 +31,35 @@ log = get_logger("install")
 _SKIP_ENV = cv.install_skip_env
 
 
+def config_file_path() -> str:
+    """Global config file storing the packages path (reference
+    tools.py:1088: ~/.config/cobaya/config.yaml equivalent)."""
+    base = os.environ.get("XDG_CONFIG_HOME", os.path.expanduser("~/.config"))
+    return os.path.join(base, "cobaya_tpu", "config.yaml")
+
+
+def load_config_file() -> dict:
+    from .utils.yamlio import yaml_load_file
+
+    path = config_file_path()
+    if os.path.exists(path):
+        try:
+            return yaml_load_file(path) or {}
+        except Exception:
+            return {}
+    return {}
+
+
+def write_config_file(updates: dict) -> None:
+    from .utils.yamlio import yaml_dump_file
+
+    path = config_file_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    config = load_config_file()
+    config.update(updates)
+    yaml_dump_file(path, config)
+
+
 def resolve_packages_path(infos=None) -> Optional[str]:
     path = os.environ.get(cv.packages_path_env)
     if path:
@@ -38,7 +67,7 @@ def resolve_packages_path(infos=None) -> Optional[str]:
     for info in infos or []:
         if info.get("packages_path"):
             return info["packages_path"]
-    return None
+    return load_config_file().get("packages_path")
 
 
 def download_file(url: str, path: str, logger=None) -> bool:
@@ -151,12 +180,42 @@ def install(*infos, packages_path: Optional[str] = None, force: bool = False,
                 if not cls.is_installed(**kwargs):
                     log.error("Installation of %s failed verification.", name)
                     success = False
+                else:
+                    _write_version_dat(cls, packages_path)
             except LoggedError:
                 raise
             except Exception as exc:
                 log.error("Installation of %s failed: %s", name, exc)
                 success = False
     return success
+
+
+def _write_version_dat(cls, packages_path: Optional[str]) -> None:
+    """Record the installed version next to a component's data
+    (reference install.py version tracking via version.dat)."""
+    if not packages_path:
+        return
+    try:
+        folder = cls.get_path(packages_path)
+    except Exception:
+        return
+    version = (cls.get_install_options().get("github_release")
+               if hasattr(cls, "get_install_options") else None)
+    if version and os.path.isdir(folder):
+        with open(os.path.join(folder, "version.dat"), "w",
+                  encoding="utf-8") as f:
+            f.write(str(version) + "\n")
+
+
+def installed_version(cls, packages_path: str) -> Optional[str]:
+    try:
+        path = os.path.join(cls.get_path(packages_path), "version.dat")
+    except Exception:
+        return None
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            return f.read().strip()
+    return None
 
 
 def install_script(args=None):

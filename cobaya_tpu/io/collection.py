@@ -384,7 +384,32 @@ class SampleCollection(BaseCollection):
                 "Chain file columns %s do not match expected %s",
                 names, self.columns,
             )
+        self._check_consistency(data, file_name)
         self.append_rows(data)
+
+    def _check_consistency(self, rows: np.ndarray, file_name: str):
+        """Loaded-chain sanity: logpost == logprior + loglike (T=1) and
+        positive weights (reference collection.py:335-376)."""
+        if not len(rows):
+            return
+        if np.any(rows[:, 0] < 0):
+            raise LoggedError(
+                self.log, "Negative weights in chain file '%s'.", file_name
+            )
+        mlp = rows[:, self._icol(cv.OUT_MINUSLOGPOST)]
+        mlprior = rows[:, self._icol(cv.OUT_MINUSLOGPRIOR)]
+        chi2 = rows[:, self._icol(cv.OUT_CHI2)]
+        expected = mlprior + chi2 / 2 * (1 / self.temperature)
+        finite = np.isfinite(mlp) & np.isfinite(expected)
+        if finite.any() and not np.allclose(
+            mlp[finite], expected[finite], rtol=1e-4, atol=1e-3
+        ):
+            self.mpi_warning(
+                "Loaded chain '%s' has inconsistent minuslogpost vs "
+                "minuslogprior + chi2/2 (max diff %.3g); check its "
+                "temperature or provenance.", file_name,
+                float(np.max(np.abs(mlp[finite] - expected[finite]))),
+            )
 
     @classmethod
     def load(cls, file_name: str, name=None,
