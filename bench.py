@@ -103,7 +103,7 @@ def main():
     import argparse
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("--n-chains", type=int, default=4096)
+    parser.add_argument("--n-chains", type=int, default=16384)
     parser.add_argument("--dim", type=int, default=50)
     ns = parser.parse_args()
     t_setup = time.time()
