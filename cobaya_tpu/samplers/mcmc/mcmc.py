@@ -154,26 +154,7 @@ class MCMC(CovmatSampler):
             self._full_eval = self._block_eval = None
         periodic, bounds = model.prior.periodic_params_bounds
         wrap = model.prior.reduce_periodic if np.any(periodic) else None
-        if self.drag:
-            from ...ops.dragging import make_drag_epoch_fn
-
-            n_slow = len(blocks[0])
-            n_fast = sum(len(b) for b in blocks[1:])
-            self._drag_interp_steps = max(
-                1, int(np.round(self._oversampling[-1] * n_fast / n_slow))
-            )
-            self.mpi_info("Dragging with %d interpolating steps.",
-                          self._drag_interp_steps)
-            self._epoch_fn = jax.jit(make_drag_epoch_fn(
-                self._logpost_fn, wrap, self.temperature,
-                block_eval=self._block_eval,
-                drag_interp_steps=self._drag_interp_steps,
-            ))
-        else:
-            self._epoch_fn = jax.jit(
-                make_epoch_fn(self._logpost_fn, wrap, self.temperature,
-                              block_eval=self._block_eval)
-            )
+        self._build_epoch_fn(wrap, blocks)
         # on-device epoch diagnostics: everything the host needs, tiny.
         # (the tunnel-TPU backend moves data at ~0.5 MB/s, so cross-chain
         # statistics are reduced on device; only scalars + a (d, d) matrix
@@ -186,7 +167,11 @@ class MCMC(CovmatSampler):
             covs = mom_ops.cov(mom)
             w = counts / jnp.sum(counts)
             mean_of_covs = jnp.einsum("c,cij->ij", w, covs)
-            return rminus1_of_moments_jax(counts, means, covs), mean_of_covs
+            mean_of_means = jnp.einsum("c,ci->i", w, means)
+            dm = means - mean_of_means
+            cov_of_means = jnp.einsum("c,ci,cj->ij", w, dm, dm)
+            return (rminus1_of_moments_jax(counts, means, covs),
+                    mean_of_covs, cov_of_means)
 
         def epoch_stats(carry):
             return (window_stats(carry.mom), window_stats(carry.mom2),
@@ -296,6 +281,31 @@ class MCMC(CovmatSampler):
             for i in range(n_out)
         ]
 
+    def _build_epoch_fn(self, wrap, blocks):
+        """Construct the jitted epoch function (hook for kernel variants)."""
+        import jax
+
+        if self.drag:
+            from ...ops.dragging import make_drag_epoch_fn
+
+            n_slow = len(blocks[0])
+            n_fast = sum(len(b) for b in blocks[1:])
+            self._drag_interp_steps = max(
+                1, int(np.round(self._oversampling[-1] * n_fast / n_slow))
+            )
+            self.mpi_info("Dragging with %d interpolating steps.",
+                          self._drag_interp_steps)
+            self._epoch_fn = jax.jit(make_drag_epoch_fn(
+                self._logpost_fn, wrap, self.temperature,
+                block_eval=self._block_eval,
+                drag_interp_steps=self._drag_interp_steps,
+            ))
+        else:
+            self._epoch_fn = jax.jit(
+                make_epoch_fn(self._logpost_fn, wrap, self.temperature,
+                              block_eval=self._block_eval)
+            )
+
     def _epoch_shape(self, n_steps: int):
         thin = max(1, int(np.ceil(n_steps / self.records_per_epoch)))
         n_rec = max(1, n_steps // thin)
@@ -386,10 +396,11 @@ class MCMC(CovmatSampler):
         (stats_a, stats_b, acc_mean, streak) = stats_h
         # primary window = the longer one
         primary = 0 if self._win_steps[0] >= self._win_steps[1] else 1
-        rminus1, mean_of_covs = (stats_a, stats_b)[primary]
+        rminus1, mean_of_covs, cov_of_means = (stats_a, stats_b)[primary]
         self._last_stats = {
             "rminus1": float(rminus1),
             "mean_of_covs": np.asarray(mean_of_covs, float),
+            "cov_of_means": np.asarray(cov_of_means, float),
         }
         if record:
             host_recs = {
