@@ -105,6 +105,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--n-chains", type=int, default=16384)
     parser.add_argument("--dim", type=int, default=50)
+    parser.add_argument("--sampler", default="mcmc",
+                        choices=["mcmc", "hmc"])
     ns = parser.parse_args()
     t_setup = time.time()
     import jax
@@ -113,6 +115,12 @@ def main():
     from cobaya_tpu.samplers.sampler import get_sampler
 
     info, cov = build_info(dim=ns.dim, n_chains=ns.n_chains)
+    if ns.sampler == "hmc":
+        opts = info["sampler"].pop("mcmc")
+        for k in ("oversample_power",):
+            opts.pop(k, None)
+        opts.update({"leapfrog_steps": 12})
+        info["sampler"] = {"hmc": opts}
     n_dev = len(jax.devices())
     model = get_model({k: v for k, v in info.items() if k != "sampler"})
     sampler = get_sampler(info["sampler"], model)
