@@ -100,8 +100,12 @@ def update_info(
             comp_info = dict(comp_info or {}) if isinstance(comp_info, Mapping) \
                 else ({"external": comp_info} if comp_info is not None else {})
             external = comp_info.get("external")
-            if external is not None and not isinstance(external, str):
-                # external callables/classes: defaults come from the object
+            if external is not None and (
+                not isinstance(external, str)
+                or external.lstrip().startswith("lambda")
+            ):
+                # external callables/classes/string-lambdas: defaults come
+                # from the object itself
                 if isinstance(external, type):
                     defaults = external.get_defaults(input_options=comp_info) \
                         if hasattr(external, "get_defaults") else {}

@@ -169,6 +169,14 @@ class LikelihoodCollection(ComponentCollection):
             info = dict(info or {})
             if "external" in info:
                 external = info["external"]
+                if isinstance(external, str):
+                    # string lambda from YAML input
+                    from ..utils.tools import get_external_function
+
+                    info = dict(info, external=get_external_function(
+                        external, name
+                    ))
+                    external = info["external"]
                 if isinstance(external, type):
                     if not issubclass(external, Theory):
                         raise LoggedError(

@@ -78,3 +78,19 @@ def test_cli_unknown_command():
     result = _run(["frobnicate"])
     assert result.returncode == 1
     assert "Unknown command" in result.stdout
+
+
+def test_examples_initialize():
+    """Every example input at least passes --test initialization."""
+    import glob
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(repo, "examples", "*.yaml"))):
+        if "benchmark" in path:
+            continue  # illustrative shape only
+        result = subprocess.run(
+            [sys.executable, "-m", "cobaya_tpu", "run", path, "--test"],
+            capture_output=True, text=True, env=ENV, timeout=300,
+            cwd=repo,
+        )
+        assert result.returncode == 0, (path, result.stdout + result.stderr)
