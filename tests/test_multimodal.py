@@ -64,3 +64,23 @@ def test_nested_recovers_modes_and_evidence():
     assert abs(sampler.logZ) < 4 * sampler.logZstd + 0.1, (
         sampler.logZ, sampler.logZstd,
     )
+
+
+def test_nested_cluster_decomposition():
+    info = _info({"nested": {"seed": 12, "nlive": 300,
+                             "precision_criterion": 1e-2}})
+    _, sampler = run(info)
+    clusters = sampler.products()["clusters"]
+    assert clusters is not None and len(clusters) == 2
+    masses = sorted(c["mass_fraction"] for c in clusters.values())
+    assert masses[0] > 0.25  # near-equal-weight modes
+    # per-cluster evidences sum back to the total
+    logZs = [c["logZ"] for c in clusters.values()]
+    total = np.logaddexp.reduce(logZs)
+    assert np.isclose(total, sampler.logZ, atol=1e-6)
+    # cluster means sit on the true modes
+    centers = sorted(
+        float(np.average(c["sample"]["a_0"], weights=c["sample"].weights))
+        for c in clusters.values()
+    )
+    assert abs(centers[0] - 0.25) < 0.05 and abs(centers[1] - 0.75) < 0.05
