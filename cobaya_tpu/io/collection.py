@@ -438,6 +438,30 @@ class SampleCollection(BaseCollection):
         out._load_file(file_name)
         return out
 
+    def get_stats(self, params=None, cl_levels=(0.68, 0.95)) -> dict:
+        """Marginal statistics per parameter: mean, std, CL bounds.
+
+        Weighted quantiles replace the reference's getdist dependency for
+        basic analysis; ``to_getdist()`` remains for full getdist workflows.
+        """
+        from ..ops.convergence import weighted_quantile
+
+        names = params or (self.sampled_params + self.derived_params)
+        w = self._detempered_weights(slice(0, self._n))
+        stats = {}
+        for p in names:
+            v = self[p]
+            mu = float(np.average(v, weights=w))
+            sd = float(np.sqrt(np.average((v - mu) ** 2, weights=w)))
+            entry = {"mean": mu, "std": sd}
+            for cl in cl_levels:
+                lo, hi = weighted_quantile(
+                    v, [(1 - cl) / 2, 1 - (1 - cl) / 2], w
+                )
+                entry[f"cl{int(round(cl * 100))}"] = (float(lo), float(hi))
+            stats[p] = entry
+        return stats
+
     def to_pandas(self):
         """Export as a pandas DataFrame (optional dependency)."""
         import pandas as pd

@@ -133,3 +133,18 @@ def test_native_formatter_matches_python():
     "\n".join(" ".join("%17.8g" % v for v in row) for row in big[:2000])
     t_python = (time.perf_counter() - t0) * 10
     assert t_native < t_python
+
+
+def test_get_stats():
+    coll = make_coll()
+    rng = np.random.default_rng(7)
+    n = 5000
+    x = rng.normal(loc=[1.0, -2.0], scale=[0.5, 2.0], size=(n, 2))
+    coll.append_batch(x, np.zeros(n), np.zeros((n, 1)), np.zeros((n, 1)),
+                      x.sum(1, keepdims=True), rle=False)
+    stats = coll.get_stats(params=["a", "b"])
+    assert abs(stats["a"]["mean"] - 1.0) < 0.03
+    assert abs(stats["b"]["std"] - 2.0) < 0.1
+    lo, hi = stats["a"]["cl95"]
+    assert abs(lo - (1 - 1.96 * 0.5)) < 0.05
+    assert abs(hi - (1 + 1.96 * 0.5)) < 0.05
