@@ -91,6 +91,39 @@ class Nested(Sampler):
             jax.vmap(lambda u: loglike_u(u)[0])
         )
         self._decorate_batch = jax.jit(jax.vmap(lambda u: loglike_u(u)))
+        # --- speed grades (PolyChord grade_dims/grade_frac capability) --------
+        # with a fast/slow hierarchy, slice passes are split per block and
+        # fast passes reuse the cached slow-component results per live point
+        blocks, oversampling = model.get_param_blocking_for_sampler(
+            oversample_power=0.4
+        )
+        self._blocks = blocks
+        sampled = list(model.parameterization.sampled_params())
+        self._block_indices = [
+            [sampled.index(p) for p in b] for b in blocks
+        ]
+        if len(blocks) > 1:
+            self._full_eval, self._block_eval = (
+                model.make_blocked_logposterior_fn(
+                    self._block_indices, clip_to_bounds=True,
+                )
+            )
+            weights = np.array([
+                len(b) * o for b, o in zip(blocks, oversampling)
+            ], dtype=float)
+            weights = weights / weights.sum()
+            self._repeats_plan = [
+                (i, max(1, int(round(self._num_repeats * w))))
+                for i, w in enumerate(weights)
+            ]
+            self.mpi_info(
+                "Nested speed grades: blocks %s, slice passes per "
+                "replacement %s", [len(b) for b in blocks],
+                [r for _, r in self._repeats_plan],
+            )
+        else:
+            self._full_eval = self._block_eval = None
+            self._repeats_plan = [(0, self._num_repeats)]
         self._generation = jax.jit(self._make_generation())
         self.logZ = -np.inf
         self.logZstd = np.inf
@@ -104,101 +137,172 @@ class Nested(Sampler):
         d = self.d
         K = self._batch
         n = self._nlive
-        repeats = self._num_repeats  # slice passes (option already scales with d)
         max_step_out = 4
         max_shrink = int(self.max_shrink)
         loglike_u = lambda u: self._loglike_u(u)[0]
+        graded = self._block_eval is not None
+        # per-block masks over cube dimensions (sampled-parameter order)
+        block_masks = np.zeros((len(self._block_indices), d))
+        for b, idxs in enumerate(self._block_indices):
+            block_masks[b, idxs] = 1.0
+        block_masks_j = jnp.asarray(block_masks)
+        tab = jnp.asarray(self._tables, self._dtype)
+        knots = jnp.asarray(self._u_knots, self._dtype)
 
-        def slice_pass(carry, _):
-            u, logL, Lmin, key, whiten, n_ev = carry
-            key, k_dir, k_r, k_shrink = jax.random.split(key, 4)
-            g = jax.random.normal(k_dir, (d,))
-            direction = whiten @ (g / jnp.linalg.norm(g))
-            w = 1.0
-            r = jax.random.uniform(k_r)
-            lo0, hi0 = -w * r, w * (1 - r)
+        def cube_to_x(u):
+            return jax.vmap(jnp.interp, in_axes=(0, None, 0))(u, knots, tab)
 
-            def check(t):
-                cand = u + t * direction
-                inside = jnp.all((cand >= 0) & (cand <= 1))
-                val = jnp.where(
-                    inside, loglike_u(jnp.clip(cand, 0, 1)), -jnp.inf
+        def eval_graded(b, u, cache):
+            """(value, cache) under the likelihood constraint semantics."""
+            x = cube_to_x(u)
+            _, lpri, llik, _, cache_new = self._block_eval(b, x, cache)
+            ext = jnp.sum(lpri[1:]) if lpri.shape[0] > 1 else 0.0
+            return jnp.sum(llik) + ext, cache_new
+
+        def slice_pass_for_block(b_static):
+            """One slice pass restricted to block ``b_static``'s dims."""
+
+            def slice_pass(carry, _):
+                u, logL, cache, Lmin, key, whitens, n_ev = carry
+                key, k_dir, k_r, k_shrink = jax.random.split(key, 4)
+                mask = block_masks_j[b_static]
+                g = jax.random.normal(k_dir, (d,)) * mask
+                direction = whitens[b_static] @ (
+                    g / jnp.maximum(jnp.linalg.norm(g), 1e-30)
                 )
-                return val > Lmin, val
+                w = 1.0
+                r = jax.random.uniform(k_r)
+                lo0, hi0 = -w * r, w * (1 - r)
 
-            # step out (masked fixed iterations)
-            def step_out(bound, sign):
-                def body(i, state):
-                    b, active, ne = state
-                    ok, _ = check(b)
-                    grow = active & ok
-                    return (jnp.where(grow, b + sign * w, b),
-                            grow, ne + active)
+                def check(t):
+                    cand = u + t * direction
+                    inside = jnp.all((cand >= 0) & (cand <= 1))
+                    cand_c = jnp.clip(cand, 0, 1)
+                    if graded:
+                        val, cache_new = eval_graded(b_static, cand_c, cache)
+                    else:
+                        val, cache_new = loglike_u(cand_c), cache
+                    val = jnp.where(inside, val, -jnp.inf)
+                    return val > Lmin, val, cache_new
 
-                b, _, ne = jax.lax.fori_loop(
-                    0, max_step_out, body, (bound, True, 0)
+                def step_out(bound, sign):
+                    def body(i, state):
+                        bnd, active, ne = state
+                        ok, _, _ = check(bnd)
+                        grow = active & ok
+                        return (jnp.where(grow, bnd + sign * w, bnd),
+                                grow, ne + active)
+
+                    bnd, _, ne = jax.lax.fori_loop(
+                        0, max_step_out, body, (bound, True, 0)
+                    )
+                    return bnd, ne
+
+                lo, ne1 = step_out(lo0, -1.0)
+                hi, ne2 = step_out(hi0, +1.0)
+                n_ev = n_ev + ne1 + ne2
+
+                def shrink_body(i, state):
+                    lo, hi, u_new, logL_new, cache_cur, done, key, ne = state
+                    key, k_t = jax.random.split(key)
+                    t = jax.random.uniform(k_t, minval=lo, maxval=hi)
+                    ok, val, cache_new = check(t)
+                    accept = (~done) & ok
+                    u_out = jnp.where(
+                        accept, jnp.clip(u + t * direction, 0, 1), u_new
+                    )
+                    logL_out = jnp.where(accept, val, logL_new)
+                    cache_out = jax.tree.map(
+                        lambda a, c: jnp.where(accept, a, c),
+                        cache_new, cache_cur,
+                    )
+                    lo = jnp.where((~done) & (~ok) & (t < 0), t, lo)
+                    hi = jnp.where((~done) & (~ok) & (t >= 0), t, hi)
+                    return (lo, hi, u_out, logL_out, cache_out, done | ok,
+                            key, ne + (~done))
+
+                (lo, hi, u_new, logL_new, cache_new, done, key,
+                 ne) = jax.lax.fori_loop(
+                    0, max_shrink, shrink_body,
+                    (lo, hi, u, logL, cache, False, k_shrink, 0),
                 )
-                return b, ne
+                n_ev = n_ev + ne
+                # on total failure stay at the current point
+                return (u_new, logL_new, cache_new, Lmin, key, whitens,
+                        n_ev), None
 
-            lo, ne1 = step_out(lo0, -1.0)
-            hi, ne2 = step_out(hi0, +1.0)
-            n_ev = n_ev + ne1 + ne2
+            return slice_pass
 
-            # shrink
-            def shrink_body(i, state):
-                lo, hi, u_new, logL_new, done, key, ne = state
-                key, k_t = jax.random.split(key)
-                t = jax.random.uniform(k_t, minval=lo, maxval=hi)
-                ok, val = check(t)
-                accept = (~done) & ok
-                u_out = jnp.where(accept, jnp.clip(u + t * direction, 0, 1),
-                                  u_new)
-                logL_out = jnp.where(accept, val, logL_new)
-                lo = jnp.where((~done) & (~ok) & (t < 0), t, lo)
-                hi = jnp.where((~done) & (~ok) & (t >= 0), t, hi)
-                return (lo, hi, u_out, logL_out, done | ok, key,
-                        ne + (~done))
+        def replace_one(u_start, logL_start, cache_start, Lmin, whitens,
+                        key):
+            carry = (u_start, logL_start, cache_start, Lmin, key, whitens, 0)
+            # static python loop over grades: separate scans per block
+            for b, reps in self._repeats_plan:
+                carry, _ = jax.lax.scan(
+                    slice_pass_for_block(b), carry, None, length=reps
+                )
+            u, logL, cache, _, _, _, n_ev = carry
+            return u, logL, cache, n_ev
 
-            lo, hi, u_new, logL_new, done, key, ne = jax.lax.fori_loop(
-                0, max_shrink, shrink_body,
-                (lo, hi, u, logL, False, k_shrink, 0),
-            )
-            n_ev = n_ev + ne
-            # on total failure stay at the current point (valid but wasted)
-            return (u_new, logL_new, Lmin, key, whiten, n_ev), None
-
-        def replace_one(u_start, logL_start, Lmin, whiten, key):
-            carry = (u_start, logL_start, Lmin, key, whiten, 0)
-            carry, _ = jax.lax.scan(slice_pass, carry, None, length=repeats)
-            u, logL, _, _, _, n_ev = carry
-            return u, logL, n_ev
-
-        def generation(u_live, logL_live, key):
+        def generation(u_live, logL_live, cache_live, key):
             order = jnp.argsort(logL_live)
             kill = order[:K]
             survive = order[K:]
             Lmin = logL_live[kill[-1]]  # the highest of the killed
             dead_u = u_live[kill]
             dead_logL = logL_live[kill]
-            # whitening from surviving live points
+            # per-block whitening from surviving live points (padded chol of
+            # the block's sub-covariance; zero outside the block dims)
             us = u_live[survive]
             mu = us.mean(0)
             cov = (us - mu).T @ (us - mu) / (n - K - 1)
             cov = cov + 1e-8 * jnp.eye(d)
-            whiten = jnp.linalg.cholesky(cov)
+            whitens = []
+            for b, idxs in enumerate(self._block_indices):
+                sub = cov[jnp.ix_(jnp.asarray(idxs), jnp.asarray(idxs))]
+                chol = jnp.linalg.cholesky(sub)
+                pad = jnp.zeros((d, d))
+                pad = pad.at[jnp.ix_(jnp.asarray(idxs),
+                                     jnp.asarray(idxs))].set(chol)
+                whitens.append(pad)
+            whitens = jnp.stack(whitens)
             key, k_pick, k_slice = jax.random.split(key, 3)
             starts = jax.random.choice(k_pick, survive, (K,), replace=True)
             keys = jax.random.split(k_slice, K)
-            new_u, new_logL, n_ev = jax.vmap(
-                replace_one, in_axes=(0, 0, None, None, 0)
-            )(u_live[starts], logL_live[starts], Lmin, whiten, keys)
+            cache_starts = jax.tree.map(lambda a: a[starts], cache_live)
+            new_u, new_logL, new_cache, n_ev = jax.vmap(
+                replace_one, in_axes=(0, 0, 0, None, None, 0)
+            )(u_live[starts], logL_live[starts], cache_starts, Lmin,
+              whitens, keys)
             u_live = u_live.at[kill].set(new_u)
             logL_live = logL_live.at[kill].set(new_logL)
+            cache_live = jax.tree.map(
+                lambda full, new: full.at[kill].set(new), cache_live,
+                new_cache,
+            )
             stuck = jnp.sum(new_logL <= Lmin)
-            return (u_live, logL_live, key, dead_u, dead_logL,
+            return (u_live, logL_live, cache_live, key, dead_u, dead_logL,
                     jnp.sum(n_ev), stuck)
 
         return generation
+
+    def _init_cache(self, u_live):
+        """Per-live-point component cache (empty tuple when ungraded)."""
+        import jax
+        import jax.numpy as jnp
+
+        if self._full_eval is None:
+            return ()
+        tab = jnp.asarray(self._tables, self._dtype)
+        knots = jnp.asarray(self._u_knots, self._dtype)
+
+        def cube_to_x(u):
+            return jax.vmap(jnp.interp, in_axes=(0, None, 0))(u, knots, tab)
+
+        def full(u):
+            return self._full_eval(cube_to_x(u))[4]
+
+        return jax.jit(jax.vmap(full))(u_live)
 
     # ------------------------------------------------------------------
     def run(self):
@@ -210,6 +314,7 @@ class Nested(Sampler):
         key, k0 = jax.random.split(key)
         u_live = jax.random.uniform(k0, (n, d), dtype=self._dtype)
         logL_live = self._loglike_batch(u_live)
+        cache_live = self._init_cache(u_live)
         self._n_evals += n
         self.mpi_info(
             "Nested sampling: nlive=%d, batch=%d, num_repeats=%d (d=%d)",
@@ -223,8 +328,8 @@ class Nested(Sampler):
         it = 0
         while True:
             it += 1
-            (u_live, logL_live, key, dead_u, dead_logL, n_ev,
-             stuck) = self._generation(u_live, logL_live, key)
+            (u_live, logL_live, cache_live, key, dead_u, dead_logL, n_ev,
+             stuck) = self._generation(u_live, logL_live, cache_live, key)
             dead_u_h, dead_logL_h, logL_live_h, n_ev_h, stuck_h = (
                 jax.device_get((dead_u, dead_logL, logL_live, n_ev, stuck))
             )

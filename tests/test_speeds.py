@@ -118,3 +118,45 @@ def test_blocked_sampler_still_correct():
     s = sampler.products(skip_samples=0.5)["sample"]
     mu = s.mean()
     assert np.allclose(mu, [0.4, 0.6, 0.5, 0.5], atol=0.02), mu
+
+
+def test_nested_speed_grades_count_ratio():
+    """Graded nested sampling: slow components recompute only on slow-block
+    slice passes (reference test_polychord.py:85-102 capability)."""
+    counts = {"slow": 0, "fast": 0}
+
+    def slow_like(a0, a1):
+        counts["slow"] += 1
+        return float(-0.5 * ((a0 - 0.45) ** 2 + (a1 - 0.55) ** 2) / 0.01)
+
+    def fast_like(b0, b1):
+        counts["fast"] += 1
+        return float(-0.5 * ((b0 - 0.5) ** 2 + (b1 - 0.5) ** 2) / 0.01)
+
+    info = {
+        "params": {
+            "a0": [0, 1], "a1": [0, 1], "b0": [0, 1], "b1": [0, 1],
+        },
+        "likelihood": {
+            "slow": {"external": slow_like, "speed": 1, "jittable": False,
+                     "input_params": ["a0", "a1"]},
+            "fast": {"external": fast_like, "speed": 100, "jittable": False,
+                     "input_params": ["b0", "b1"]},
+        },
+        "sampler": {"nested": {
+            "seed": 3, "nlive": 100, "num_repeats": 8,
+            "precision_criterion": 0.5, "max_ndead": 400,
+            "do_clustering": False,
+        }},
+    }
+    from cobaya_tpu.run import run
+
+    _, sampler = run(info)
+    assert len(sampler._repeats_plan) == 2
+    reps = dict(sampler._repeats_plan)
+    reps_slow, reps_fast = reps[0], reps[1]
+    # fast like evaluated on every pass; slow only on slow-block passes
+    expected = (reps_slow + reps_fast) / reps_slow
+    ratio = counts["fast"] / counts["slow"]
+    assert abs(ratio / expected - 1) < 0.25, (ratio, expected, counts)
+    assert np.isfinite(sampler.logZ)
