@@ -185,16 +185,22 @@ class Nested(Sampler):
                     val = jnp.where(inside, val, -jnp.inf)
                     return val > Lmin, val, cache_new
 
+                # early-exit loops: under vmap, while_loop runs only while
+                # ANY lane is active, so host-callback evaluations stop as
+                # soon as every walker's interval is settled
                 def step_out(bound, sign):
-                    def body(i, state):
-                        bnd, active, ne = state
-                        ok, _, _ = check(bnd)
-                        grow = active & ok
-                        return (jnp.where(grow, bnd + sign * w, bnd),
-                                grow, ne + active)
+                    def cond(state):
+                        _, active, i, _ = state
+                        return active & (i < max_step_out)
 
-                    bnd, _, ne = jax.lax.fori_loop(
-                        0, max_step_out, body, (bound, True, 0)
+                    def body(state):
+                        bnd, active, i, ne = state
+                        ok, _, _ = check(bnd)
+                        return (jnp.where(ok, bnd + sign * w, bnd), ok,
+                                i + 1, ne + 1)
+
+                    bnd, _, _, ne = jax.lax.while_loop(
+                        cond, body, (bound, True, 0, 0)
                     )
                     return bnd, ne
 
@@ -202,29 +208,34 @@ class Nested(Sampler):
                 hi, ne2 = step_out(hi0, +1.0)
                 n_ev = n_ev + ne1 + ne2
 
-                def shrink_body(i, state):
-                    lo, hi, u_new, logL_new, cache_cur, done, key, ne = state
+                def shrink_cond(state):
+                    _, _, _, _, _, done, _, i, _ = state
+                    return (~done) & (i < max_shrink)
+
+                def shrink_body(state):
+                    lo, hi, u_new, logL_new, cache_cur, done, key, i, ne = (
+                        state
+                    )
                     key, k_t = jax.random.split(key)
                     t = jax.random.uniform(k_t, minval=lo, maxval=hi)
                     ok, val, cache_new = check(t)
-                    accept = (~done) & ok
                     u_out = jnp.where(
-                        accept, jnp.clip(u + t * direction, 0, 1), u_new
+                        ok, jnp.clip(u + t * direction, 0, 1), u_new
                     )
-                    logL_out = jnp.where(accept, val, logL_new)
+                    logL_out = jnp.where(ok, val, logL_new)
                     cache_out = jax.tree.map(
-                        lambda a, c: jnp.where(accept, a, c),
+                        lambda a, c: jnp.where(ok, a, c),
                         cache_new, cache_cur,
                     )
-                    lo = jnp.where((~done) & (~ok) & (t < 0), t, lo)
-                    hi = jnp.where((~done) & (~ok) & (t >= 0), t, hi)
-                    return (lo, hi, u_out, logL_out, cache_out, done | ok,
-                            key, ne + (~done))
+                    lo = jnp.where((~ok) & (t < 0), t, lo)
+                    hi = jnp.where((~ok) & (t >= 0), t, hi)
+                    return (lo, hi, u_out, logL_out, cache_out, ok, key,
+                            i + 1, ne + 1)
 
-                (lo, hi, u_new, logL_new, cache_new, done, key,
-                 ne) = jax.lax.fori_loop(
-                    0, max_shrink, shrink_body,
-                    (lo, hi, u, logL, cache, False, k_shrink, 0),
+                (lo, hi, u_new, logL_new, cache_new, done, key, _,
+                 ne) = jax.lax.while_loop(
+                    shrink_cond, shrink_body,
+                    (lo, hi, u, logL, cache, False, k_shrink, 0, 0),
                 )
                 n_ev = n_ev + ne
                 # on total failure stay at the current point
