@@ -61,7 +61,10 @@ def run(
     if not info.get("sampler"):
         raise LoggedError(log, "No sampler block given!")
     out = get_output(
-        prefix=info.get("output"), resume=bool(info.get("resume")),
+        prefix=info.get("output"),
+        # --minimize on an existing run reuses its products (starts from the
+        # previous MAP) rather than overwriting them
+        resume=bool(info.get("resume")) or bool(minimize),
         force=bool(info.get("force")),
     )
     updated_info = update_info(info)

@@ -71,3 +71,26 @@ def test_run_minimize_flag():
     info["sampler"] = {"mcmc": {"max_samples": 10}}
     _, sampler = run(info, minimize=True)
     assert hasattr(sampler, "minimum")
+
+
+def test_minimize_after_chain_starts_from_map(tmp_path):
+    """run --minimize on existing chains reuses their MAP as a start."""
+    prefix = str(tmp_path / "m2" / "run")
+    info = _info(ignore_prior=True)
+    info["output"] = prefix
+    info["sampler"] = {"mcmc": {"seed": 2, "n_chains": 32,
+                                "max_samples": 2000,
+                                "Rminus1_stop": 0.05,
+                                "Rminus1_cl_stop": 1.0,
+                                "output_chains": 2}}
+    from cobaya_tpu.run import run as _run
+
+    _run(info)
+    info["sampler"] = {"minimize": {"seed": 1, "best_of": 2,
+                                    "ignore_prior": True}}
+    _, sampler = _run(info, minimize=True)
+    assert np.allclose(sampler.result["x"], mean, atol=5e-4)
+    import os
+
+    assert os.path.exists(prefix + ".minimum.txt")
+    # the sampler resume check must not complain about the sampler swap
