@@ -80,17 +80,18 @@ def test_cli_unknown_command():
     assert "Unknown command" in result.stdout
 
 
-def test_examples_initialize():
+def test_examples_initialize(tmp_path):
     """Every example input at least passes --test initialization."""
     import glob
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(ENV, PYTHONPATH=repo)
     for path in sorted(glob.glob(os.path.join(repo, "examples", "*.yaml"))):
         if "benchmark" in path:
             continue  # illustrative shape only
         result = subprocess.run(
             [sys.executable, "-m", "cobaya_tpu", "run", path, "--test"],
-            capture_output=True, text=True, env=ENV, timeout=300,
-            cwd=repo,
+            capture_output=True, text=True, env=env, timeout=300,
+            cwd=str(tmp_path),  # relative output prefixes land here
         )
         assert result.returncode == 0, (path, result.stdout + result.stderr)
