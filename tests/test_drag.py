@@ -58,3 +58,40 @@ def test_drag_results(temperature):
     expected_std = [np.sqrt(cov_s[0, 0]), np.sqrt(cov_s[1, 1]), 0.02, 0.02]
     assert np.allclose(mu, expected_mu, atol=0.03), mu
     assert np.allclose(std, expected_std, atol=0.03), std
+
+
+def test_drag_with_callbacks_counts():
+    """Dragging with host-callback components: slow evaluated once per
+    cycle, fast twice per interpolation step (+once in the full eval)."""
+    counts = {"slow": 0, "fast": 0}
+
+    def slow_like(x0):
+        counts["slow"] += 1
+        return float(-0.5 * (x0 - 0.4) ** 2 / 0.01)
+
+    def fast_like(y0):
+        counts["fast"] += 1
+        return float(-0.5 * (y0 - 0.6) ** 2 / 0.01)
+
+    info = {
+        "params": {
+            "x0": {"prior": [0, 1], "ref": 0.4, "proposal": 0.05},
+            "y0": {"prior": [0, 1], "ref": 0.6, "proposal": 0.05},
+        },
+        "likelihood": {
+            "slow": {"external": slow_like, "speed": 1, "jittable": False,
+                     "input_params": ["x0"]},
+            "fast": {"external": fast_like, "speed": 50, "jittable": False,
+                     "input_params": ["y0"]},
+        },
+        "sampler": {"mcmc": {
+            "seed": 15, "n_chains": 8, "drag": True, "max_samples": 300,
+            "Rminus1_stop": 1e-6, "Rminus1_cl_stop": 1e-6,
+            "measure_speeds": False, "learn_proposal": False,
+        }},
+    }
+    _, sampler = run(info)
+    n_drag = sampler._drag_interp_steps
+    expected = 1 + 2 * n_drag
+    ratio = counts["fast"] / counts["slow"]
+    assert abs(ratio / expected - 1) < 0.05, (ratio, expected, n_drag)

@@ -70,3 +70,37 @@ def test_grid_create_run_status(tmp_path):
     assert all(not isinstance(r, Exception) for r in results)
     status = grid_status(grid_dir)
     assert all(v in ("done", "in progress") for v in status.values())
+
+
+def test_convert_cosmomc(tmp_path):
+    from cobaya_tpu.cosmo_input.convert_cosmomc import convert_cosmomc_ini
+
+    (tmp_path / "run.paramnames").write_text(
+        "omegabh2   \\Omega_b h^2\nH0*   H_0\n"
+    )
+    (tmp_path / "run.ini").write_text(
+        "param[omegabh2] = 0.0224 0.005 0.1 0.0001 0.0001\n"
+        "param[tau] = 0.055 0.01 0.8 0.006 0.003\n"
+        "param[mnu] = 0.06\n"
+        "propose_scale = 1.9\n"
+        "file_root = chains/converted\n"
+    )
+    info = convert_cosmomc_ini(
+        str(tmp_path / "run.ini"), str(tmp_path / "run.paramnames")
+    )
+    assert info["params"]["mnu"] == 0.06
+    ob = info["params"]["omegabh2"]
+    assert ob["prior"] == {"min": 0.005, "max": 0.1}
+    assert ob["proposal"] == 0.0001
+    assert ob["latex"] == "\\Omega_b h^2"
+    assert info["sampler"]["mcmc"]["proposal_scale"] == 1.9
+    assert info["output"] == "chains/converted"
+    # the converted params block builds a working model
+    from cobaya_tpu.models.model import get_model
+
+    info2 = {"params": info["params"],
+             "likelihood": {"one": None}}
+    model = get_model(info2)
+    assert sorted(model.parameterization.sampled_params()) == [
+        "omegabh2", "tau"
+    ]
