@@ -322,7 +322,21 @@ class CobayaComponent(HasLogger, HasDefaults):
 class ComponentCollection(dict):
     """Ordered name -> component mapping with aggregate helpers."""
 
+    def get_helper_theory_collection(self) -> "ComponentCollection":
+        """Collection that receives helper theories (reference
+        component.py:523); likelihoods route helpers to the theory
+        collection."""
+        return self
+
     def add_instance(self, name: str, component: CobayaComponent):
+        """Add a component, pulling in any helper theories it creates
+        (reference component.py:526): helpers join the (theory) collection
+        so they participate in requirement resolution and blocking."""
+        helpers = {}
+        if hasattr(component, "get_helper_theories"):
+            helpers = component.get_helper_theories() or {}
+            component.update_for_helper_theories(helpers)
+        self.get_helper_theory_collection().update(helpers)
         self[name] = component
 
     def dump_timing(self):

@@ -49,8 +49,14 @@ class Likelihood(Theory, LikelihoodInterface):
         return {}
 
     def logp(self, _derived: dict | None = None, **params_values) -> float:
-        """Eager log-likelihood; default delegates to :meth:`logp_jax`."""
-        logp, derived = self.logp_jax(params_values)
+        """Eager log-likelihood; default delegates to :meth:`logp_jax`,
+        exposing upstream products by provider-component name (the same view
+        the jitted path threads through)."""
+        provider_products = {}
+        if self.provider is not None:
+            for comp in self.provider.requirement_providers.values():
+                provider_products.setdefault(comp.get_name(), comp.current_state)
+        logp, derived = self.logp_jax(params_values, provider_products)
         if _derived is not None and derived:
             _derived.update(derived)
         return logp
@@ -163,6 +169,9 @@ class LikelihoodCollection(ComponentCollection):
     def __init__(self, info_likelihood: Mapping, packages_path=None,
                  timing=None, theory=None):
         super().__init__()
+        # helper theories created by likelihoods join the theory collection
+        # (reference likelihood.py:335)
+        self.theory = theory
         for name, info in (info_likelihood or {}).items():
             if callable(info) and not isinstance(info, type):
                 info = {"external": info}
@@ -182,13 +191,13 @@ class LikelihoodCollection(ComponentCollection):
                         raise LoggedError(
                             None, "External class '%s' must subclass Likelihood", name
                         )
-                    self[name] = external(
+                    self.add_instance(name, external(
                         info, name=name, timing=timing, packages_path=packages_path
-                    )
+                    ))
                 elif callable(external):
-                    self[name] = LikelihoodExternalFunction(
+                    self.add_instance(name, LikelihoodExternalFunction(
                         info, name, timing=timing
-                    )
+                    ))
                 else:
                     raise LoggedError(
                         None, "'external' entry of '%s' is neither class nor "
@@ -200,14 +209,17 @@ class LikelihoodCollection(ComponentCollection):
                 component_path=info.pop("python_path", None),
                 class_name=info.pop("class", None),
             )
-            self[name] = cls(
+            self.add_instance(name, cls(
                 info, name=name, timing=timing, packages_path=packages_path
-            )
+            ))
         for like in self.values():
             if not isinstance(like, LikelihoodInterface):
                 raise LoggedError(
                     None, "'%s' is not a likelihood.", like.get_name()
                 )
+
+    def get_helper_theory_collection(self):
+        return self.theory if self.theory is not None else self
 
     def get_type_dict(self) -> dict[str, list[str]]:
         return {name: like.get_type_list() for name, like in self.items()}

@@ -135,7 +135,26 @@ class Theory(CobayaComponent):
         return self._helpers
 
     def update_for_helper_theories(self, helpers: dict[str, "Theory"]):
+        """Register helpers; if this component came with explicit
+        input/output params, redistribute them between the helpers and the
+        host by declared support (reference theory.py:347)."""
         self._helpers = dict(helpers)
+        if not helpers:
+            return
+        components: list[Theory] = list(helpers.values()) + [self]
+        for output, attr in enumerate(("input_params", "output_params")):
+            pars = getattr(self, attr, None)
+            if pars is None:  # unset sentinel: nothing explicit to split
+                continue
+            for component in components:
+                if not component.get_allow_agnostic():
+                    supported = (component.get_can_provide_params() if output
+                                 else component.get_can_support_params())
+                    setattr(component, attr, [p for p in pars if p in supported])
+                    pars = [p for p in pars if p not in supported]
+            for component in components:
+                if component.get_allow_agnostic():
+                    setattr(component, attr, pars)
 
     # ---- compute contract -------------------------------------------------------
     def calculate(self, state: dict, want_derived: bool = True,
@@ -258,18 +277,18 @@ class TheoryCollection(ComponentCollection):
                 info.get("external")
             ):
                 cls = info.pop("external")
-                self[name] = cls(
+                self.add_instance(name, cls(
                     info, name=name, timing=timing, packages_path=packages_path
-                )
+                ))
                 continue
             cls = get_component_class(
                 name, kind="theory",
                 component_path=info.pop("python_path", None),
                 class_name=info.pop("class", None),
             )
-            self[name] = cls(
+            self.add_instance(name, cls(
                 info, name=name, timing=timing, packages_path=packages_path
-            )
+            ))
 
 
 class Provider:

@@ -123,3 +123,101 @@ def test_type_checking_enforced():
 
     with pytest.raises((LoggedError, TypeError)):
         run(info)
+
+
+def test_helper_theories_join_dag():
+    """A theory's helper (get_helper_theories) is auto-collected into the
+    model (reference component.py:526): it joins the DAG, provides products
+    its host consumes, and appears in the component order."""
+    from cobaya_tpu.models.theory import HelperTheory
+
+    class Doubler(HelperTheory):
+        def get_requirements(self):
+            return {"x": None}
+
+        def get_can_provide(self):
+            return ["two_x"]
+
+        def calculate_jax(self, params, want_derived=True,
+                          provider_products=None):
+            return {"two_x": 2.0 * params["x"]}, {}
+
+    class Host(Theory):
+        def initialize(self):
+            self._helpers = {"Host.doubler": Doubler(name="Host.doubler")}
+
+        def get_helper_theories(self):
+            return self._helpers
+
+        def get_requirements(self):
+            return {"two_x": None}
+
+        def get_can_provide(self):
+            return ["four_x_sq"]
+
+        def calculate_jax(self, params, want_derived=True,
+                          provider_products=None):
+            two_x = provider_products["Host.doubler"]["two_x"]
+            return {"four_x_sq": two_x**2}, {}
+
+    def like(_self=None):
+        return -0.5 * _self.provider.get_result("four_x_sq")
+
+    info = {
+        "theory": {"Host": {"external": Host}},
+        "likelihood": {"uses_host": {
+            "external": like, "requires": {"four_x_sq": None},
+            "input_params": [],
+        }},
+        "params": {"x": {"prior": [0, 2]}},
+    }
+    model = get_model(info)
+    names = [c.get_name() for c in model.components]
+    assert "Host.doubler" in names  # helper was collected
+    lp = model.logposterior([1.5])
+    assert np.isclose(lp.loglikes[0], -0.5 * (2 * 1.5) ** 2, atol=1e-5)
+    order = [c.get_name() for c in model._component_order]
+    assert order.index("Host.doubler") < order.index("Host") \
+        < order.index("uses_host")
+
+
+def test_likelihood_helper_routed_to_theory_collection():
+    """Helpers created by a *likelihood* land in the theory collection
+    (reference likelihood.py:335), not among the likelihoods."""
+    from cobaya_tpu.models.likelihood import Likelihood
+    from cobaya_tpu.models.theory import HelperTheory
+
+    class Shifter(HelperTheory):
+        def get_requirements(self):
+            return {"x": None}
+
+        def get_can_provide(self):
+            return ["x_shift"]
+
+        def calculate_jax(self, params, want_derived=True,
+                          provider_products=None):
+            return {"x_shift": params["x"] - 0.25}, {}
+
+    class LikeWithHelper(Likelihood):
+        def initialize(self):
+            self._helpers = {"shifter": Shifter(name="shifter")}
+
+        def get_helper_theories(self):
+            return self._helpers
+
+        def get_requirements(self):
+            return {"x_shift": None}
+
+        def logp_jax(self, params, provider_products=None):
+            d = provider_products["shifter"]["x_shift"]
+            return -0.5 * d**2 / 0.01, {}
+
+    info = {
+        "likelihood": {"withhelper": {"external": LikeWithHelper}},
+        "params": {"x": {"prior": [0, 1]}},
+    }
+    model = get_model(info)
+    assert "shifter" in model.theory
+    assert "shifter" not in model.likelihood
+    lp = model.logposterior([0.35])
+    assert np.isclose(lp.loglikes[0], -0.5 * 0.1**2 / 0.01, atol=1e-5)
