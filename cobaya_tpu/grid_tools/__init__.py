@@ -1,13 +1,15 @@
 """Grids of runs over models x datasets.
 
-Capability parity (compact) with /root/reference/cobaya/grid_tools/: create a
+Capability parity with /root/reference/cobaya/grid_tools/: create a
 directory of run inputs for every (model, dataset) combination from a grid
-settings file, run them (locally sequential, or emitting submission commands
-for a cluster queue), and check/track their status.
+settings file (grid.py), run them locally or submit them through a cluster
+queue with templated job scripts and a job-id index (jobqueue.py), track
+convergence/progress, clean up, copy and extract outputs (gridmanage.py),
+and generate LaTeX constraint tables (gridtables.py).
 
-The reference's SLURM job-queue machinery maps here onto simple command
-emission: TPU pods schedule whole hosts, so a grid entry = one
-``cobaya-tpu-run`` invocation; plug the emitted commands into any scheduler.
+TPU-first note: there is no mpirun wrapping — TPU pods schedule whole
+hosts, so one grid entry = one ``cobaya-tpu run`` process; the submission
+templates reserve chips, not MPI ranks.
 """
 
 from .grid import (
@@ -17,3 +19,12 @@ from .grid import (
     grid_status,
     run_grid,
 )
+from .gridmanage import (
+    grid_cleanup,
+    grid_copy,
+    grid_extract,
+    grid_list,
+    grid_progress,
+)
+from .gridtables import grid_tables
+from .jobqueue import JobIndex, JobSettings, delete_jobs, submit_job

@@ -104,3 +104,91 @@ def test_convert_cosmomc(tmp_path):
     assert sorted(model.parameterization.sampled_params()) == [
         "omegabh2", "tau"
     ]
+
+
+def _mini_grid(tmp_path):
+    """A 2-run grid executed to completion (tiny chains)."""
+    from cobaya_tpu.grid_tools import create_grid, run_grid
+
+    grid_dir = str(tmp_path / "grid2")
+    settings = {
+        "defaults": {
+            "params": {
+                "a": {"prior": [0, 1], "ref": 0.5, "proposal": 0.05},
+            },
+            "sampler": {"mcmc": {"seed": 3, "n_chains": 8,
+                                 "max_samples": 200, "output_chains": 1}},
+        },
+        "models": {
+            "m1": {"likelihood": {"gaussian_mixture": {
+                "means": [[0.5]], "covs": [[[0.01]]],
+                "input_params": ["a"]}}},
+            "m2": {"likelihood": {"gaussian_mixture": {
+                "means": [[0.3]], "covs": [[[0.01]]],
+                "input_params": ["a"]}}},
+        },
+    }
+    create_grid(grid_dir, settings)
+    run_grid(grid_dir)
+    return grid_dir
+
+
+def test_grid_tables_and_manage(tmp_path):
+    from cobaya_tpu.grid_tools import (
+        grid_cleanup, grid_copy, grid_extract, grid_list, grid_progress,
+        grid_tables,
+    )
+
+    grid_dir = _mini_grid(tmp_path)
+    # latex tables: one per run + a compare table over the shared params
+    tex = grid_tables(grid_dir, params=["a"], skip=0.3)
+    text = open(tex).read()
+    assert text.count(r"\begin{table}") == 3
+    assert "m1" in text and "m2" in text and "$a$" in text
+    # listing + progress
+    listing = grid_list(grid_dir)
+    assert set(listing) == {"m1", "m2"}
+    assert all(rec["files"] > 0 for rec in listing.values())
+    progress = grid_progress(grid_dir)
+    assert all(r is None or r >= 0 for r in progress.values())
+    # extract covmats
+    got = grid_extract(grid_dir, str(tmp_path / "covmats"), exts=(".covmat",))
+    assert len(got) == 2
+    # copy to zip
+    zip_path = str(tmp_path / "out.zip")
+    copied = grid_copy(grid_dir, zip_path, zip_output=True)
+    assert copied and os.path.exists(zip_path)
+    # cleanup (keep converged) then full cleanup
+    grid_cleanup(grid_dir, keep_converged=True)
+    removed = grid_cleanup(grid_dir, keep_converged=False)
+    listing = grid_list(grid_dir)
+    assert all(rec["files"] == 0 for rec in listing.values()), (removed,
+                                                                listing)
+
+
+def test_jobqueue_submit_and_delete(tmp_path):
+    from cobaya_tpu.grid_tools.jobqueue import (
+        JobIndex, JobSettings, delete_jobs, parse_job_id, submit_job,
+    )
+
+    batch = str(tmp_path / "batch")
+    marker = tmp_path / "ran.txt"
+    settings = JobSettings(
+        jobname="job1", inputs=["in1.yaml"], engine="sh",
+        program=f"touch {marker} # {{input}}",
+    )
+    # dry run only writes the script
+    assert submit_job(batch, settings, dry_run=True) is None
+    script = os.path.join(batch, "scripts", "job1.sh")
+    assert os.path.exists(script)
+    assert "in1.yaml" in open(script).read()
+    # real 'sh' submission runs the script and records the job
+    job_id = submit_job(batch, settings)
+    assert marker.exists()
+    index = JobIndex(batch)
+    assert job_id in index.jobs
+    assert index.by_name("job1") == job_id
+    # delete clears the record
+    assert delete_jobs(batch, names=["job1"]) == [job_id]
+    assert JobIndex(batch).jobs == {}
+    assert parse_job_id("Submitted batch job 4242\n") == "4242"
