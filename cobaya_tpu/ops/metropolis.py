@@ -55,6 +55,7 @@ def make_epoch_fn(
     periodic_wrap: Callable | None,
     temperature: float = 1.0,
     block_eval: Callable | None = None,
+    cycled_directions: bool = False,
 ) -> Callable:
     """Build the jittable epoch function.
 
@@ -62,7 +63,10 @@ def make_epoch_fn(
     walker (vmapped internally).  Returns
     ``epoch(carry, schedule, transforms, dir_mask, block_sizes, scale)
     -> (carry, EpochRecord)`` where ``schedule`` has shape
-    ``(n_records, thin)`` of block indices.
+    ``(n_records, thin)`` of block indices.  With ``cycled_directions``,
+    the signature gains a ``directions`` array of shape
+    ``(n_records, thin, d)`` right after ``schedule``: per-step precomputed
+    SO(n) columns (reference proposal.py:58), shared across walkers.
 
     With ``block_eval`` (from :meth:`Model.make_blocked_logposterior_fn`),
     the carry's per-component cache is used so that each step recomputes only
@@ -80,14 +84,14 @@ def make_epoch_fn(
     def tempered(logpriors, loglikes):
         return jnp.sum(logpriors, -1) + inv_T * jnp.sum(loglikes, -1)
 
-    def one_step(carry: MCMCCarry, block_index, transforms, dir_mask,
-                 block_sizes, scale):
+    def one_step(carry: MCMCCarry, block_index, direction, transforms,
+                 dir_mask, block_sizes, scale):
         keys = jax.vmap(jax.random.split, in_axes=(0, None))(carry.key, 3)
         key_next, k_prop, k_acc = keys[:, 0], keys[:, 1], keys[:, 2]
         trial = jax.vmap(
-            propose_jax, in_axes=(0, 0, None, None, None, None, None)
+            propose_jax, in_axes=(0, 0, None, None, None, None, None, None)
         )(k_prop, carry.x, block_index, transforms, dir_mask, block_sizes,
-          scale)
+          scale, direction)
         if periodic_wrap is not None:
             trial = periodic_wrap(trial)
         if block_eval is None:
@@ -136,14 +140,19 @@ def make_epoch_fn(
         )
         return new_carry
 
-    def epoch(carry: MCMCCarry, schedule, transforms, dir_mask, block_sizes,
-              scale):
-        def outer_step(carry, block_indices_thin):
-            def inner_step(c, b):
-                return one_step(c, b, transforms, dir_mask, block_sizes,
+    def epoch_impl(carry: MCMCCarry, schedule, directions, transforms,
+                   dir_mask, block_sizes, scale):
+        def outer_step(carry, xs):
+            block_indices_thin, dirs_thin = xs
+
+            def inner_step(c, xb):
+                b, e = xb
+                return one_step(c, b, e, transforms, dir_mask, block_sizes,
                                 scale), None
 
-            carry, _ = jax.lax.scan(inner_step, carry, block_indices_thin)
+            carry, _ = jax.lax.scan(
+                inner_step, carry, (block_indices_thin, dirs_thin)
+            )
             carry = carry._replace(
                 mom=mom_ops.update(carry.mom, carry.x),
                 mom2=mom_ops.update(carry.mom2, carry.x),
@@ -158,7 +167,14 @@ def make_epoch_fn(
             )
             return carry, rec
 
-        return jax.lax.scan(outer_step, carry, schedule)
+        return jax.lax.scan(outer_step, carry, (schedule, directions))
+
+    if cycled_directions:
+        return epoch_impl
+
+    def epoch(carry, schedule, transforms, dir_mask, block_sizes, scale):
+        return epoch_impl(carry, schedule, None, transforms, dir_mask,
+                          block_sizes, scale)
 
     return epoch
 

@@ -19,10 +19,15 @@ TPU-first design differences:
 * The block schedule is precomputed host-side per epoch and fed to the scan
   as an ``xs`` array (shared across walkers; each walker draws its own
   direction and radius, so walker kernels stay independent).
-* Directions are fresh per-walker random unit vectors in the block subspace
-  rather than cycled columns of a Haar SO(n) rotation: identical in
-  distribution per step (Haar columns are uniform on the sphere), giving up
-  only the antithetic balance between consecutive steps within a block.
+* Two direction modes.  ``random`` (default): fresh per-walker random unit
+  vectors in the block subspace — identical in distribution per step to Haar
+  columns and fully decorrelated *across* walkers, which matters when
+  thousands of walkers feed the cross-chain R-1 statistics.  ``cycled``:
+  the reference's semantics exactly (reference proposal.py:58-82) — cycle
+  through the columns of a Haar SO(n) rotation per block, regenerating on
+  wrap (``DirectionCycler``); the per-step column is precomputed host-side
+  and fed to the scan, shared across walkers (each walker keeps its own
+  random sign and radius).
 """
 
 from __future__ import annotations
@@ -135,12 +140,68 @@ def make_block_schedule(
     return out
 
 
-def propose_jax(key, x, block_index, transforms, dir_mask, block_sizes, scale):
+def random_SO_N(n: int, rng: np.random.Generator) -> np.ndarray:
+    """Haar-distributed special-orthogonal matrix (reference functions.py:21).
+
+    QR of a Gaussian matrix with the R-diagonal sign fix gives Haar O(n);
+    flipping one column's sign when det = -1 lands in SO(n).
+    """
+    if n == 1:
+        return np.ones((1, 1))
+    A = rng.standard_normal((n, n))
+    Q, R = np.linalg.qr(A)
+    Q = Q * np.sign(np.diag(R))
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] = -Q[:, 0]
+    return Q
+
+
+class DirectionCycler:
+    """Per-block SO(n) column cycler (reference RandDirectionProposer).
+
+    Host-side state persisting across epochs: for each block, a Haar
+    rotation whose columns are proposed in sequence, regenerated when
+    exhausted.  ``directions_for(schedule)`` precomputes the per-step unit
+    directions (embedded in the d-dim j-space) for one epoch.
+    """
+
+    def __init__(self, proposal: BlockedProposal, rng: np.random.Generator):
+        self.rng = rng
+        self.sizes = [int(s) for s in proposal.block_sizes]
+        starts = np.concatenate([[0], np.cumsum(proposal.block_sizes)[:-1]])
+        self.starts = [int(s) for s in starts]
+        self.d = int(proposal.transforms.shape[-1])
+        self._R = [None] * len(self.sizes)
+        self._idx = [0] * len(self.sizes)
+
+    def _next_column(self, b: int) -> np.ndarray:
+        nb = self.sizes[b]
+        if self._R[b] is None or self._idx[b] >= nb:
+            self._R[b] = random_SO_N(nb, self.rng)
+            self._idx[b] = 0
+        col = self._R[b][:, self._idx[b]]
+        self._idx[b] += 1
+        return col
+
+    def directions_for(self, block_schedule: np.ndarray) -> np.ndarray:
+        """(n_steps, d) j-space unit directions for a flat block schedule."""
+        out = np.zeros((len(block_schedule), self.d), dtype=np.float32)
+        for s, b in enumerate(block_schedule):
+            b = int(b)
+            j0, nb = self.starts[b], self.sizes[b]
+            out[s, j0:j0 + nb] = self._next_column(b)
+        return out
+
+
+def propose_jax(key, x, block_index, transforms, dir_mask, block_sizes, scale,
+                direction=None):
     """One proposal for one walker (jittable; vmap over walkers).
 
     key: PRNG key; x: (d,) current point; block_index: traced int32 scalar
     (shared across walkers in a step); remaining args: device copies of the
-    BlockedProposal arrays.  Returns the trial point.
+    BlockedProposal arrays.  ``direction``: optional precomputed (d,)
+    j-space unit direction (cycled mode) — the walker applies a random sign
+    to it.  Returns the trial point.
     """
     import jax
     import jax.numpy as jnp
@@ -149,9 +210,13 @@ def propose_jax(key, x, block_index, transforms, dir_mask, block_sizes, scale):
     k_dir, k_u, k_exp, k_gauss = jax.random.split(key, 4)
     mask = dir_mask[block_index]  # (d,)
     nb = block_sizes[block_index]
-    # unit direction in the block's j-subspace
-    g = jax.random.normal(k_dir, (d,), dtype=x.dtype) * mask
-    e = g / jnp.maximum(jnp.linalg.norm(g), 1e-30)
+    if direction is None:
+        # fresh unit direction in the block's j-subspace
+        g = jax.random.normal(k_dir, (d,), dtype=x.dtype) * mask
+        e = g / jnp.maximum(jnp.linalg.norm(g), 1e-30)
+    else:
+        sign = jnp.where(jax.random.bernoulli(k_dir), 1.0, -1.0)
+        e = sign * direction.astype(x.dtype)
     # fat-tailed radial kick: 1/3 Exp(1), 2/3 |N(0, I_min(nb,2))|
     u = jax.random.uniform(k_u)
     r_exp = jax.random.exponential(k_exp, dtype=x.dtype)

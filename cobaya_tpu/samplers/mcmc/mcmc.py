@@ -46,6 +46,7 @@ class MCMC(CovmatSampler):
     burn_in: Union[int, str]
     max_tries: Union[int, str]
     proposal_scale: float
+    proposal_directions: str
     output_every: Union[int, str]
     learn_every: Union[int, str]
     temperature: float
@@ -142,6 +143,12 @@ class MCMC(CovmatSampler):
         if covmat is None:
             covmat = self.initial_proposal_covmat()
         self._set_proposal(covmat)
+        # cycled-direction state persists across proposal updates (the
+        # cycler lives in whitened j-space, independent of the covariance)
+        from ...ops.proposal import DirectionCycler
+
+        self._dir_cycler = DirectionCycler(self._proposal, self.rng) \
+            if self.proposal_directions == "cycled" else None
         # --- compiled posterior ----------------------------------------------------
         self._logpost_fn = model.make_logposterior_fn()
         # with >1 block, use the work-avoiding cached evaluator so only the
@@ -285,7 +292,18 @@ class MCMC(CovmatSampler):
         """Construct the jitted epoch function (hook for kernel variants)."""
         import jax
 
+        if self.proposal_directions not in ("random", "cycled"):
+            raise LoggedError(
+                self.log, "proposal_directions must be 'random' or "
+                "'cycled', got %r", self.proposal_directions,
+            )
         if self.drag:
+            if self.proposal_directions == "cycled":
+                self.mpi_warning(
+                    "Dragging keeps fresh random directions; "
+                    "'proposal_directions: cycled' applies to the plain "
+                    "Metropolis kernel only."
+                )
             from ...ops.dragging import make_drag_epoch_fn
 
             n_slow = len(blocks[0])
@@ -301,10 +319,26 @@ class MCMC(CovmatSampler):
                 drag_interp_steps=self._drag_interp_steps,
             ))
         else:
+            cycled = self.proposal_directions == "cycled"
             self._epoch_fn = jax.jit(
                 make_epoch_fn(self._logpost_fn, wrap, self.temperature,
-                              block_eval=self._block_eval)
+                              block_eval=self._block_eval,
+                              cycled_directions=cycled)
             )
+
+    def _direction_xs(self, schedule: np.ndarray, cycler=None) -> tuple:
+        """Per-step cycled SO(n) directions as extra scan inputs
+        (empty tuple in 'random' mode).  ``cycler`` overrides the
+        persistent one (warmup uses a throwaway so it does not advance
+        the sampling stream)."""
+        if self.proposal_directions != "cycled" or self.drag:
+            return ()
+        import jax.numpy as jnp
+
+        cycler = cycler or self._dir_cycler
+        dirs = cycler.directions_for(schedule.ravel())
+        return (jnp.asarray(dirs.reshape(schedule.shape + (-1,)),
+                            self._dtype),)
 
     def _epoch_shape(self, n_steps: int):
         thin = max(1, int(np.ceil(n_steps / self.records_per_epoch)))
@@ -326,8 +360,12 @@ class MCMC(CovmatSampler):
         schedule = make_block_schedule(
             self._proposal, n_rec * thin, np.random.default_rng(0)
         ).reshape(n_rec, thin)
+        from ...ops.proposal import DirectionCycler
+
+        throwaway = DirectionCycler(self._proposal, np.random.default_rng(0))
         carry, recs = self._epoch_fn(
-            self._carry, jnp.asarray(schedule), *self._prop_dev
+            self._carry, jnp.asarray(schedule),
+            *self._direction_xs(schedule, cycler=throwaway), *self._prop_dev
         )
         stats = self._stats_fn(carry)
         jax.block_until_ready((carry.x, stats))
@@ -380,7 +418,8 @@ class MCMC(CovmatSampler):
             self._proposal, total, self.rng
         ).reshape(n_rec, thin)
         carry, recs = self._epoch_fn(
-            self._carry, jnp.asarray(schedule), *self._prop_dev
+            self._carry, jnp.asarray(schedule),
+            *self._direction_xs(schedule), *self._prop_dev
         )
         self._carry = carry
         self.n_steps += total

@@ -163,3 +163,59 @@ def test_resume_unconverges_on_stricter_criteria(tmp_path):
     _, s3 = run(info, resume=True)
     assert s3.n_steps > s1.n_steps
     assert s3.converged
+
+
+def test_cycled_proposal_directions():
+    """'proposal_directions: cycled' reproduces the reference's SO(n)
+    column cycling (reference proposal.py:58-82) and still samples the
+    target correctly."""
+    import numpy as np
+
+    from cobaya_tpu.ops.proposal import (
+        BlockedProposal, DirectionCycler, build_blocked_proposal,
+        random_SO_N,
+    )
+
+    rng = np.random.default_rng(0)
+    # Haar SO(n): orthogonal, det +1
+    R = random_SO_N(5, rng)
+    assert np.allclose(R @ R.T, np.eye(5), atol=1e-12)
+    assert np.isclose(np.linalg.det(R), 1.0)
+    # cycler: within one cycle, a block's directions are orthonormal
+    prop = build_blocked_proposal(np.eye(5), [[0, 1, 2], [3, 4]])
+    cyc = DirectionCycler(prop, rng)
+    sched = np.array([0, 0, 0, 1, 1, 0, 0, 0])
+    dirs = cyc.directions_for(sched)
+    blk0_first = dirs[:3, :3]  # float32 output -> 1e-6 tolerance
+    assert np.allclose(blk0_first @ blk0_first.T, np.eye(3), atol=1e-6)
+    blk0_second = dirs[5:, :3]
+    assert np.allclose(blk0_second @ blk0_second.T, np.eye(3), atol=1e-6)
+    # fresh rotation after the wrap
+    assert not np.allclose(blk0_first, blk0_second)
+    # block-1 columns live on the last two j-positions, orthonormal
+    assert np.allclose(dirs[3:5, :3], 0)
+    assert np.allclose(dirs[3:5, 3:] @ dirs[3:5, 3:].T, np.eye(2),
+                       atol=1e-6)
+    # end-to-end sampling accuracy with the cycled kernel
+    from cobaya_tpu.run import run
+
+    info = {
+        "params": {
+            "x": {"prior": [-1, 1], "ref": 0.1, "proposal": 0.05},
+            "y": {"prior": [-1, 1], "ref": -0.1, "proposal": 0.05},
+        },
+        "likelihood": {"gaussian_mixture": {
+            "means": [[0.1, -0.1]],
+            "covs": [[[0.0016, 0.0008], [0.0008, 0.0016]]],
+            "input_params": ["x", "y"],
+        }},
+        "sampler": {"mcmc": {
+            "seed": 7, "n_chains": 64, "proposal_directions": "cycled",
+            "Rminus1_stop": 0.01, "Rminus1_cl_stop": 0.3,
+            "max_samples": 20000,
+        }},
+    }
+    _, sampler = run(info)
+    s = sampler.products(skip_samples=0.5)["sample"]
+    assert np.allclose(s.mean(), [0.1, -0.1], atol=0.01)
+    assert np.allclose(np.sqrt(np.diag(s.cov())), 0.04, atol=0.01)
