@@ -406,14 +406,19 @@ def _class_from_module(module, name: str, kind: str | None):
         klass = getattr(module, cname, None)
         if isinstance(klass, type) and issubclass(klass, CobayaComponent):
             return klass
-    # fallback: unique CobayaComponent subclass defined in the module
-    found = [
+    defined_here = [
         v for v in vars(module).values()
         if isinstance(v, type) and issubclass(v, CobayaComponent)
         and v.__module__ == module.__name__
     ]
-    if len(found) == 1:
-        return found[0]
+    # case-insensitive class-name match (e.g. 'camb' -> CAMB)
+    short = name.split(".")[-1].lower()
+    matches = [v for v in defined_here if v.__name__.lower() == short]
+    if len(matches) == 1:
+        return matches[0]
+    # fallback: unique CobayaComponent subclass defined in the module
+    if len(defined_here) == 1:
+        return defined_here[0]
     return None
 
 

@@ -912,35 +912,86 @@ class Model(HasLogger):
 
         # Host bridge: batched pure_callback.  Output spec from the component
         # or (for likelihoods) default to scalar logp + declared output params.
-        spec = comp.callback_output_spec()
-        if not spec and isinstance(comp, LikelihoodInterface):
+        # Non-likelihood components additionally emit an int32 "__token__":
+        # the per-walker host-side state lives in the component's object
+        # store, and downstream host components resolve the token back to it
+        # (so object products — e.g. a CAMBdata — flow per-walker through
+        # the device program without serialization).
+        spec = dict(comp.callback_output_spec())
+        is_like = isinstance(comp, LikelihoodInterface)
+        if not spec and is_like:
             spec = {"logp": jax.ShapeDtypeStruct((), jnp.float32)}
             for p in comp.output_params:
                 spec[p] = jax.ShapeDtypeStruct((), jnp.float32)
+        if not is_like:
+            spec["__token__"] = jax.ShapeDtypeStruct((), jnp.int32)
         param_names = list(comp.input_params)
         out_names = list(spec)
+        # upstream providers whose products this component reads via
+        # self.provider: host (non-jittable) ones hand over a token; traced
+        # (jittable) ones hand over their product arrays
+        by_name = {c.get_name(): c for c in self.components}
+        dep_names = sorted(self._dependencies.get(comp.get_name(), ()))
+        up_host = [by_name[n] for n in dep_names
+                   if not getattr(by_name[n], "jittable", False)]
+        up_jit_names = [n for n in dep_names
+                        if getattr(by_name[n], "jittable", False)]
 
-        def host_eval(*arrays):
+        def host_eval(token_arrays, jit_leaf_views, *arrays):
             if comp.timer:
                 comp.timer.start()
             arrays = [np.asarray(a) for a in arrays]
-            batch_shape = arrays[0].shape if arrays else ()
+            tokens = [np.asarray(t) for t in token_arrays]
+            # under vmap(expand_dims), unbatched operands (fixed params,
+            # unmoved products) carry size-1 batch dims: broadcast-index
+            batch_shape = np.broadcast_shapes(
+                *(a.shape for a in arrays), *(t.shape for t in tokens)
+            )
+            nb = len(batch_shape)
+            n = int(np.prod(batch_shape)) if batch_shape else 1
+
+            def row(a, i):
+                a = np.asarray(a)
+                event = a.shape[nb:] if a.ndim >= nb else ()
+                rows = a.reshape((-1,) + tuple(event))
+                return rows[i if rows.shape[0] > 1 else 0]
+
             flat = [a.reshape(-1) for a in arrays]
-            n = flat[0].size if flat else 1
+            tokens = [t.reshape(-1) for t in tokens]
             results = {k: np.empty((n,) + spec[k].shape,
                                    dtype=spec[k].dtype) for k in out_names}
-            for i in range(n):
-                params = {p: float(v[i]) for p, v in zip(param_names, flat)}
-                if isinstance(comp, LikelihoodInterface):
-                    derived: dict = {}
-                    logp = comp.logp(_derived=derived, **params)
-                    values = {"logp": logp, **derived}
-                else:
-                    state: dict = {"derived": {}}
-                    comp.calculate(state, True, **params)
-                    values = {**state, **(state.get("derived") or {})}
-                for k in out_names:
-                    results[k][i] = values.get(k, np.nan)
+            try:
+                for i in range(n):
+                    for prov, tok in zip(up_host, tokens):
+                        prov._callback_view = prov._resolve_state_object(
+                            int(tok[i if tok.size > 1 else 0])
+                        )
+                    for prov_name, view in jit_leaf_views:
+                        by_name[prov_name]._callback_view = {
+                            k: row(v, i) for k, v in view.items()
+                        }
+                    params = {
+                        p: float(v[i if v.size > 1 else 0])
+                        for p, v in zip(param_names, flat)
+                    }
+                    if is_like:
+                        derived: dict = {}
+                        logp = comp.logp(_derived=derived, **params)
+                        values = {"logp": logp, **derived}
+                    else:
+                        state: dict = {"derived": {}}
+                        comp.calculate(state, True, **params)
+                        values = {**state, **(state.get("derived") or {})}
+                        values["__token__"] = comp._store_state_object(
+                            state, batch_size=n
+                        )
+                    for k in out_names:
+                        results[k][i] = values.get(k, np.nan)
+            finally:
+                for prov in up_host:
+                    prov._callback_view = None
+                for prov_name, _ in jit_leaf_views:
+                    by_name[prov_name]._callback_view = None
             if comp.timer:
                 comp.timer.increment()
             return tuple(
@@ -950,12 +1001,38 @@ class Model(HasLogger):
 
         def step(params, products_so_far):
             arrays = [jnp.asarray(params[p]) for p in param_names]
+            token_arrays = [
+                products_so_far[c.get_name()]["__token__"] for c in up_host
+            ]
+            jit_view_keys = [
+                (n, [k for k in products_so_far.get(n, {})])
+                for n in up_jit_names
+            ]
+            jit_leaves = [
+                products_so_far[n][k] for n, keys in jit_view_keys
+                for k in keys
+            ]
+            n_par, n_tok = len(arrays), len(token_arrays)
+
+            def host_cb(*all_arrays):
+                arrs = all_arrays[:n_par]
+                toks = all_arrays[n_par:n_par + n_tok]
+                leaves = list(all_arrays[n_par + n_tok:])
+                views, pos = [], 0
+                for pname, keys in jit_view_keys:
+                    views.append((pname, {
+                        k: leaves[pos + j] for j, k in enumerate(keys)
+                    }))
+                    pos += len(keys)
+                return host_eval(toks, views, *arrs)
+
             out = jax.pure_callback(
-                host_eval,
+                host_cb,
                 tuple(spec[k] for k in out_names),
-                *arrays,
+                *arrays, *token_arrays, *jit_leaves,
                 vmap_method="expand_dims",
             )
+
             values = dict(zip(out_names, out))
             derived = {
                 p: values[p] for p in getattr(comp, "output_params", [])

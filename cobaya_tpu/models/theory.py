@@ -68,6 +68,13 @@ class Theory(CobayaComponent):
         self._states: deque = deque(maxlen=3)
         self.provider: Provider | None = None
         self._helpers: dict[str, "Theory"] = {}
+        # host-side object store for the jit callback bridge: non-jittable
+        # components' per-walker states live here, addressed by int32 tokens
+        # that ride the device program (see Model._component_jax_step)
+        self._object_store: dict[int, dict] = {}
+        self._object_counter: int = 0
+        self._object_last_batch: int = 0
+        self._callback_view: dict | None = None
         super().__init__(info=info, name=name, timing=timing,
                          packages_path=packages_path, initialize=initialize,
                          standalone=standalone)
@@ -231,7 +238,42 @@ class Theory(CobayaComponent):
 
     @property
     def current_state(self) -> dict:
+        # inside a jit host callback, a consumer resolves this provider's
+        # per-walker state from its token (object store); the view override
+        # makes provider.get_X() calls per-walker correct
+        if self._callback_view is not None:
+            return self._callback_view
         return self._states[0] if self._states else {}
+
+    # ---- object store (jit callback bridge) -----------------------------------
+    def _store_state_object(self, state: dict, batch_size: int = 1) -> int:
+        """Keep a per-walker state host-side; return its int32 token.
+
+        Capacity scales with the walker batch (a token stays live while the
+        device carry caches it across steps; rejected moves can keep an
+        older token alive, hence the 4x margin).
+        """
+        # wrap below int32 max: only the ~4x-batch most recent tokens are
+        # ever live, so wraparound collisions cannot occur
+        self._object_counter = (self._object_counter + 1) % 2147483647
+        token = self._object_counter
+        self._object_store[token] = state
+        self._object_last_batch = max(self._object_last_batch, batch_size)
+        max_keep = max(1024, 4 * self._object_last_batch)
+        while len(self._object_store) > max_keep:
+            self._object_store.pop(next(iter(self._object_store)))
+        return token
+
+    def _resolve_state_object(self, token: int) -> dict:
+        try:
+            return self._object_store[int(token)]
+        except KeyError:
+            raise LoggedError(
+                self.log, "Stale state token %s for component '%s': the "
+                "host-side object store evicted it. This indicates more "
+                "live walkers than store capacity; raise the batch margin.",
+                token, self.get_name(),
+            ) from None
 
     def get_param(self, p: str):
         """Value of derived param ``p`` in the current state."""

@@ -24,8 +24,17 @@ from typing import Any, Optional
 import numpy as np
 
 from ...models.component import ComponentNotInstalledError, load_external_module
+from ...models.theory import HelperTheory
 from ...utils.log import LoggedError
 from ..cosmo.boltzmannbase import BoltzmannBase
+
+# initial-power / amplitude-rescaling parameters: cheap to apply on cached
+# transfer functions, so they stay with the host when the transfers helper
+# splits the calculation (reference camb.py:1161 CambTransfers)
+_INITIAL_POWER_PARAMS = frozenset({
+    "As", "ns", "nrun", "nrunrun", "r", "At", "nt", "ntrun", "Alens",
+    "pivot_scalar", "pivot_tensor",
+})
 
 
 class CAMB(BoltzmannBase):
@@ -37,6 +46,10 @@ class CAMB(BoltzmannBase):
     extra_args: Optional[dict] = None
     ignore_obsolete: bool = False
     external_primordial_pk: bool = False
+    # split transfer functions into a helper theory so that initial-power /
+    # non-linear parameter moves reuse cached transfers (the fast/slow
+    # hierarchy inside one Boltzmann code, reference camb.py:1161-1250)
+    use_transfer_helper: bool = True
     renames: Optional[dict] = {
         "omegabh2": "ombh2", "omegach2": "omch2", "omegal": "omega_de",
         "omegak": "omk", "yhe": "YHe", "yheused": "YHe", "YpBBN": "Y_p",
@@ -48,6 +61,18 @@ class CAMB(BoltzmannBase):
         self.camb = self.get_camb_module(self.path, self.packages_path)
         self._base_params: dict = {}
         self._transfer_requested = False
+        self._transfers: Optional["CambTransfers"] = None
+        if self.use_transfer_helper:
+            self._transfers = CambTransfers(
+                self, self.get_name() + ".transfers",
+                {"stop_at_error": self.stop_at_error},
+                timing=bool(self.timer),
+            )
+
+    def get_helper_theories(self):
+        if self._transfers is not None:
+            return {self._transfers.get_name(): self._transfers}
+        return {}
 
     @classmethod
     def get_camb_module(cls, path=None, packages_path=None):
@@ -75,14 +100,35 @@ class CAMB(BoltzmannBase):
             "As", "ns", "theta_MC_100", "N_eff",
         ]
 
+    _all_supported_params = (
+        "ombh2", "omch2", "omnuh2", "omk", "H0", "cosmomc_theta",
+        "thetastar", "As", "ns", "nrun", "nrunrun", "r", "At", "nt",
+        "ntrun", "tau", "zrei", "mnu", "nnu", "num_massive_neutrinos",
+        "YHe", "meffsterile", "Alens", "w", "wa", "cs2", "dark_energy_model",
+        "TCMB", "pivot_scalar", "pivot_tensor",
+    )
+
     def get_can_support_params(self):
-        return [
-            "ombh2", "omch2", "omnuh2", "omk", "H0", "cosmomc_theta",
-            "thetastar", "As", "ns", "nrun", "nrunrun", "r", "At", "nt",
-            "ntrun", "tau", "zrei", "mnu", "nnu", "num_massive_neutrinos",
-            "YHe", "meffsterile", "Alens", "w", "wa", "cs2", "dark_energy_model",
-            "TCMB", "pivot_scalar", "pivot_tensor",
-        ]
+        if self._transfers is not None:
+            # transfer/background params route to the helper
+            return [p for p in self._all_supported_params
+                    if p in _INITIAL_POWER_PARAMS]
+        return list(self._all_supported_params)
+
+    def must_provide(self, **requirements):
+        out = super().must_provide(**requirements)
+        if self._transfers is None:
+            return out
+        from ...models.theory import check_requirement
+
+        out = check_requirement(out)
+        perts = ("Cl", "unlensed_Cl", "source_Cl", "Pk_interpolator",
+                 "Pk_grid", "sigma_R", "sigma8_z", "fsigma8")
+        out["CAMB_transfers"] = {
+            "needs_perts": any(k in self._must_provide for k in perts),
+            "non_linear": "Cl" in self._must_provide,
+        }
+        return out
 
     # ------------------------------------------------------------------
     def _set_params(self, params_values: Mapping) -> Any:
@@ -106,11 +152,38 @@ class CAMB(BoltzmannBase):
                 self.log, "Error setting CAMB parameters %r: %s", args, exc
             ) from exc
 
+    def _apply_initial_power(self, pars, params_values_dict):
+        """Set the host's (fast) initial-power params on a CAMBparams copy."""
+        init_power = {}
+        for p, v in params_values_dict.items():
+            tp = self.translate_param(p)
+            if tp == "Alens":
+                pars.Alens = v
+            elif tp in _INITIAL_POWER_PARAMS:
+                init_power[tp] = v
+        if init_power:
+            pars.InitPower.set_params(**init_power)
+        return pars
+
     def calculate(self, state: dict, want_derived: bool = True,
                   **params_values_dict):
-        pars = self._set_params(params_values_dict)
         try:
-            results = self.camb.get_results(pars)
+            if self._transfers is not None:
+                # fast path: apply initial power to the helper's cached
+                # transfer functions (reference camb.py:675-774)
+                got = self.provider.get_CAMB_transfers()
+                if not got:
+                    return False
+                transfer_pars, results = got
+                pars = self._apply_initial_power(
+                    transfer_pars.copy() if hasattr(transfer_pars, "copy")
+                    else transfer_pars, params_values_dict,
+                )
+                if self._transfers.needs_perts:
+                    results.calc_power_spectra(pars)
+            else:
+                pars = self._set_params(params_values_dict)
+                results = self.camb.get_results(pars)
         except Exception as exc:
             if self.stop_at_error:
                 raise LoggedError(
@@ -252,3 +325,70 @@ class CAMB(BoltzmannBase):
         from ...install import pip_install
 
         return pip_install("camb")
+
+
+class CambTransfers(HelperTheory):
+    """Transfer-function helper: the slow half of a split CAMB calculation.
+
+    Capability parity with reference camb.py:1161-1250 (``CambTransfers``):
+    owns the transfer/background parameters, computes and caches the CAMB
+    transfer functions (or background only, when no perturbations are
+    needed); the host applies initial-power parameters on top.  With the
+    LRU state cache, fast-block moves (As, ns, r, ...) never recompute
+    transfers — the speed hierarchy *inside* one Boltzmann code.
+    """
+
+    jittable = False
+
+    def __init__(self, cobaya_camb: CAMB, name: str, info, timing=None):
+        self.needs_perts = False
+        self.non_linear_sources = False
+        super().__init__(info, name=name, timing=timing, standalone=False)
+        self.cobaya_camb = cobaya_camb
+        self.camb = cobaya_camb.camb
+        # transfers take ~2/3 of a full CAMB call (reference camb.py:1172)
+        self.speed = cobaya_camb.speed * 1.5 if cobaya_camb.speed > 0 else -1
+
+    def get_can_provide(self):
+        return ["CAMB_transfers"]
+
+    def get_can_support_params(self):
+        return [p for p in self.cobaya_camb._all_supported_params
+                if p not in _INITIAL_POWER_PARAMS]
+
+    def must_provide(self, **requirements):
+        super().must_provide(**requirements)
+        if opts := requirements.get("CAMB_transfers"):
+            self.non_linear_sources = bool(opts.get("non_linear"))
+            self.needs_perts = bool(opts.get("needs_perts"))
+        return None
+
+    def get_CAMB_transfers(self):
+        return self.current_state.get("CAMB_transfers")
+
+    def calculate(self, state: dict, want_derived: bool = True,
+                  **params_values_dict):
+        pars = self.cobaya_camb._set_params(params_values_dict)
+        try:
+            if self.non_linear_sources:
+                try:
+                    results = self.camb.get_transfer_functions(
+                        pars, only_time_sources=True
+                    )
+                except TypeError:  # older camb without the kwarg
+                    results = self.camb.get_transfer_functions(pars)
+            elif self.needs_perts:
+                results = self.camb.get_transfer_functions(pars)
+            else:
+                results = self.camb.get_background(pars)
+        except Exception as exc:
+            if self.stop_at_error:
+                raise LoggedError(
+                    self.log, "CAMB transfers failed at %r: %s",
+                    params_values_dict, exc,
+                ) from exc
+            self.log.debug("CAMB transfers failed: %s", exc)
+            return False
+        state["CAMB_transfers"] = (pars, results)
+        state["derived"] = {}
+        return True

@@ -1,0 +1,184 @@
+"""CAMB transfers helper: fast/slow split inside the Boltzmann interface.
+
+Mirrors the reference's CambTransfers design (reference camb.py:1161-1250):
+transfer-function parameters route to a helper theory whose result is cached
+while only initial-power parameters change.  Uses a fake ``camb`` module with
+call counters; also exercises the jit object-token bridge (per-walker host
+states flowing through the device program).
+"""
+
+import numpy as np
+import pytest
+
+from cobaya_tpu.models.model import get_model
+
+LMAX = 24
+
+
+class FakeInitPower:
+    def __init__(self):
+        self.ns = 0.96
+        self.As = 2e-9
+
+    def set_params(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+class FakePars:
+    def __init__(self, **kw):
+        self.kw = dict(kw)
+        self.InitPower = FakeInitPower()
+        self.Alens = 1.0
+        self.H0 = kw.get("H0", 67.0)
+        self.TCMB = 2.7255
+
+    def copy(self):
+        new = FakePars(**self.kw)
+        new.InitPower.__dict__.update(self.InitPower.__dict__)
+        new.Alens = self.Alens
+        return new
+
+
+class FakeResults:
+    def __init__(self, pars, perts):
+        self.Params = pars
+        self.perts = perts
+        self._power_pars = pars
+
+    def calc_power_spectra(self, pars):
+        self._power_pars = pars
+
+    def get_cmb_power_spectra(self, pars, CMB_unit=None, raw_cl=True):
+        # tt depends on a transfer param (ombh2) and an initial-power param
+        # (ns), so both halves of the split are observable
+        ells = np.arange(LMAX + 1)
+        ombh2 = self.Params.kw.get("ombh2", 0.022)
+        ns = pars.InitPower.ns
+        tt = ombh2 * 1e3 / (1 + ells) ** (2 - ns)
+        total = np.zeros((LMAX + 1, 4))
+        total[:, 0] = tt
+        return {"total": total}
+
+    def get_derived_params(self):
+        return {"rdrag": 147.0 + 1e3 * self.Params.kw.get("ombh2", 0.022)}
+
+    def get_Omega(self, comp):
+        return 0.1
+
+    def get_sigma8_0(self):
+        return 0.8
+
+
+class FakeCamb:
+    __version__ = "1.5.5"
+
+    def __init__(self):
+        self.counts = {"transfers": 0, "background": 0, "results": 0}
+
+    def set_params(self, **kw):
+        return FakePars(**kw)
+
+    def get_transfer_functions(self, pars, only_time_sources=False):
+        self.counts["transfers"] += 1
+        return FakeResults(pars, perts=True)
+
+    def get_background(self, pars):
+        self.counts["background"] += 1
+        return FakeResults(pars, perts=False)
+
+    def get_results(self, pars):
+        self.counts["results"] += 1
+        return FakeResults(pars, perts=True)
+
+
+from cobaya_tpu.models.likelihood import Likelihood
+
+
+class ClLike(Likelihood):
+    jittable = False
+
+    def get_requirements(self):
+        return {"Cl": {"tt": LMAX}}
+
+    def logp(self, _derived=None, **params_values):
+        cl = self.provider.get_Cl(units="1")
+        return -0.5 * float(np.sum(cl["tt"][2:] ** 2))
+
+
+@pytest.fixture()
+def camb_model(monkeypatch):
+    from cobaya_tpu.theories.camb.camb import CAMB
+
+    fake = FakeCamb()
+    monkeypatch.setattr(
+        CAMB, "get_camb_module", classmethod(lambda cls, *a, **k: fake)
+    )
+    info = {
+        "theory": {"camb": {"use_transfer_helper": True}},
+        "likelihood": {"cl_like": {"external": ClLike, "input_params": []}},
+        "params": {
+            "ombh2": {"prior": [0.02, 0.024], "ref": 0.022},
+            "ns": {"prior": [0.9, 1.0], "ref": 0.96},
+            "H0": 67.0,
+        },
+    }
+    return get_model(info), fake
+
+
+def test_transfer_helper_split_and_caching(camb_model):
+    model, fake = camb_model
+    # helper joined the theory collection and owns the transfer param
+    assert "camb.transfers" in model.theory
+    helper = model.theory["camb.transfers"]
+    host = model.theory["camb"]
+    assert "ombh2" in helper.input_params
+    assert "ns" in host.input_params and "ombh2" not in host.input_params
+    # eager: moving only ns reuses cached transfers
+    lp1 = model.loglikes([0.022, 0.96], cached=True)[0]
+    assert fake.counts["transfers"] == 1
+    lp2 = model.loglikes([0.022, 0.98], cached=True)[0]
+    assert fake.counts["transfers"] == 1  # cache hit on the slow half
+    assert not np.isclose(lp1[0], lp2[0])  # but the answer changed
+    model.loglikes([0.023, 0.98], cached=True)
+    assert fake.counts["transfers"] == 2  # slow move recomputes
+    assert fake.counts["results"] == 0  # full pipeline never re-ran
+
+
+def test_transfer_helper_jit_token_bridge(camb_model):
+    """Per-walker CAMBdata objects flow through jit via int32 tokens."""
+    import jax
+    import jax.numpy as jnp
+
+    model, fake = camb_model
+    fn = model.make_logposterior_fn()
+    xs = np.array([[0.021, 0.95], [0.022, 0.97], [0.0235, 0.99]])
+    _, _, loglikes, _ = jax.vmap(fn)(jnp.asarray(xs))
+    expected = [model.loglikes(x, cached=False)[0][0] for x in xs]
+    assert np.allclose(np.asarray(loglikes)[:, 0], expected, rtol=1e-5)
+
+
+def test_transfer_helper_blocked_work_avoidance(camb_model):
+    """Blocked evaluator: a fast-block (ns) move does not recompute the
+    transfers helper; a slow-block (ombh2) move does."""
+    import jax.numpy as jnp
+
+    model, fake = camb_model
+    full_eval, block_eval = model.make_blocked_logposterior_fn([[0], [1]])
+    x0 = jnp.asarray([0.022, 0.96])
+    lp0, _, _, _, cache = full_eval(x0)
+    base = fake.counts["transfers"]
+    # fast move: block 1 (ns)
+    x1 = jnp.asarray([0.022, 0.99])
+    lp1, _, ll1, _, cache1 = block_eval(jnp.int32(1), x1, cache)
+    assert fake.counts["transfers"] == base
+    # matches a fresh full evaluation
+    lp1_full, _, ll1_full, _, _ = full_eval(x1)
+    assert np.isclose(float(lp1), float(lp1_full), rtol=1e-5)
+    base = fake.counts["transfers"]
+    # slow move: block 0 (ombh2) recomputes the helper
+    x2 = jnp.asarray([0.021, 0.99])
+    lp2, _, _, _, _ = block_eval(jnp.int32(0), x2, cache1)
+    assert fake.counts["transfers"] > base
+    lp2_full, _, _, _, _ = full_eval(x2)
+    assert np.isclose(float(lp2), float(lp2_full), rtol=1e-5)
