@@ -1,0 +1,14 @@
+"""eBOSS DR16 LRG BAO+FS (Alam et al. 2020).
+
+Requires the installed ``bao_data`` package (cobaya-tpu install).
+Reference: cobaya/likelihoods/bao/sdss_dr16_baoplus_lrg.yaml.
+"""
+
+from ..base_classes.bao import BAO
+
+
+class sdss_dr16_baoplus_lrg(BAO):
+    measurements_file = 'bao_data/sdss_DR16_BAOplus_LRG_FSBAO_DMDHfs8.dat'
+    cov_file = 'bao_data/sdss_DR16_BAOplus_LRG_FSBAO_DMDHfs8_covtot.txt'
+    aliases = ["BAO"]
+    speed = 2000

@@ -87,10 +87,10 @@ def test_bao_likelihood_with_mock():
         "theory": {"mock": {"external": MockLCDM}},
         "likelihood": {"bao_test": {
             "class": "cobaya_tpu.likelihoods.base_classes.BAO",
-            "measurements": [
-                (0.5, 13.0, "DV_over_rs", 0.2),
-                (0.5, 81.0, "Hz_rs", 3.0),
-                (0.6, 0.44, "f_sigma8", 0.02),
+            "measurements": [  # rows: z value err quantity
+                (0.5, 13.0, 0.2, "DV_over_rs"),
+                (0.5, 81.0, 3.0, "Hz_rs"),
+                (0.6, 0.44, 0.02, "f_sigma8"),
             ],
         }},
         "params": dict(BASE_PARAMS),
@@ -201,3 +201,126 @@ def test_component_name_resolution():
                  "_test", "one", "gaussian_mixture"):
         cls = get_component_class(name, kind="likelihood")
         assert cls is not None
+
+
+def test_bao_prob_dist_table(tmp_path):
+    """Non-Gaussian chi2(alpha) table (SDSS DR7 MGS mechanism,
+    reference bao.py:179): spline recovers the tabulated parabola."""
+    alpha = np.linspace(0.8, 1.2, 201)
+    chi2 = ((alpha - 1.0) / 0.05) ** 2
+    np.savetxt(tmp_path / "prob.txt", chi2)
+    info = {
+        "theory": {"mock": {"external": MockLCDM}},
+        "likelihood": {"bao_mgs_like": {
+            "class": "cobaya_tpu.likelihoods.base_classes.BAO",
+            "path": str(tmp_path),
+            "prob_dist": "prob.txt",
+            "prob_dist_bounds": [0.8, 1.2],
+            "data": [0.15, 1.0, 0.05, "DV_over_rs"],
+            # rescale so the theory value lands inside the table
+            "rs_rescale": None,
+        }},
+        "params": dict(BASE_PARAMS),
+    }
+    model = get_model(info)
+    like = list(model.likelihood.values())[0]
+    model.logposterior([70.0, 0.3])
+    dv = like.theory_value("DV_over_rs", 0.15)
+    # evaluate the spline directly at a known alpha
+    assert np.isclose(like._prob_logpdf(1.0), 0.0, atol=1e-6)
+    assert np.isclose(like._prob_logpdf(1.05), -0.5, atol=1e-3)
+    assert like._prob_logpdf(1.5) == -np.inf
+    # the model's loglike equals the spline at the theory value
+    lp = model.logposterior([70.0, 0.3])
+    expected = like._prob_logpdf(dv) if 0.8 <= dv <= 1.2 else -np.inf
+    assert np.isclose(lp.loglikes[0], expected, atol=1e-6)
+
+
+def test_bao_likelihood_grids(tmp_path):
+    """1-D and 2-D tabulated likelihood grids (reference bao.py:205,
+    SDSS DR16 mechanism): log-prob recovered at grid points."""
+    # compute theory values at the fiducial point for centering
+    info0 = {
+        "theory": {"mock": {"external": MockLCDM}},
+        "likelihood": {"bao_test": {
+            "class": "cobaya_tpu.likelihoods.base_classes.BAO",
+            "measurements": [(0.845, 13.0, 0.2, "DV_over_rs"),
+                             (0.845, 20.0, 0.4, "DM_over_rs"),
+                             (0.845, 20.0, 0.4, "DH_over_rs")],
+        }},
+        "params": dict(BASE_PARAMS),
+    }
+    m0 = get_model(info0)
+    m0.logposterior([70.0, 0.3])
+    like0 = list(m0.likelihood.values())[0]
+    dv0 = like0.theory_value("DV_over_rs", 0.845)
+    dm0 = like0.theory_value("DM_over_rs", 0.845)
+    dh0 = like0.theory_value("DH_over_rs", 0.845)
+    # 1-D grid: gaussian in DV_over_rs centered on dv0
+    x = np.linspace(dv0 * 0.8, dv0 * 1.2, 101)
+    np.savetxt(tmp_path / "grid1.txt",
+               np.column_stack([x, np.exp(-0.5 * ((x - dv0) / 0.2) ** 2)]))
+    info1 = {
+        "theory": {"mock": {"external": MockLCDM}},
+        "likelihood": {"bao_grid1": {
+            "class": "cobaya_tpu.likelihoods.base_classes.BAO",
+            "path": str(tmp_path), "grid_file": "grid1.txt",
+            "observable_1": "DV_over_rs", "redshift": 0.845,
+        }},
+        "params": dict(BASE_PARAMS),
+    }
+    m1 = get_model(info1)
+    lp = m1.logposterior([70.0, 0.3])
+    assert np.isclose(lp.loglikes[0], 0.0, atol=1e-4)  # peak at fiducial
+    # 2-D grid in (DM_over_rs, DH_over_rs)
+    xs = np.linspace(dm0 * 0.9, dm0 * 1.1, 41)
+    ys = np.linspace(dh0 * 0.9, dh0 * 1.1, 43)
+    rows = []
+    for xv in xs:
+        for yv in ys:
+            p = np.exp(-0.5 * (((xv - dm0) / 0.3) ** 2
+                               + ((yv - dh0) / 0.2) ** 2))
+            rows.append((xv, yv, p))
+    np.savetxt(tmp_path / "grid2.txt", np.asarray(rows))
+    info2 = {
+        "theory": {"mock": {"external": MockLCDM}},
+        "likelihood": {"bao_grid2": {
+            "class": "cobaya_tpu.likelihoods.base_classes.BAO",
+            "path": str(tmp_path), "grid_file": "grid2.txt",
+            "observable_1": "DM_over_rs", "observable_2": "DH_over_rs",
+            "redshift": 0.845,
+        }},
+        "params": dict(BASE_PARAMS),
+    }
+    m2 = get_model(info2)
+    lp2 = m2.logposterior([70.0, 0.3])
+    assert np.isclose(lp2.loglikes[0], 0.0, atol=1e-4)
+    # moving away from fiducial lowers the likelihood
+    lp2b = m2.logposterior([72.0, 0.32])
+    assert lp2b.loglikes[0] < lp2.loglikes[0]
+
+
+def test_bao_variant_classes_resolve():
+    """All reference BAO variants exist and resolve to classes."""
+    from cobaya_tpu.models.component import get_component_class
+
+    names = [
+        "bao.sixdf_2011_bao", "bao.sdss_dr7_mgs",
+        "bao.sdss_dr12_consensus_bao", "bao.sdss_dr12_consensus_final",
+        "bao.sdss_dr12_consensus_full_shape", "bao.sdss_dr12_lrg_bao_dmdh",
+        "bao.sdss_dr16_lrg_bao_dmdh", "bao.sdss_dr16_qso_bao_dmdh",
+        "bao.sdss_dr16_baoplus_lrg", "bao.sdss_dr16_baoplus_qso",
+        "bao.sdss_dr16_bao_elg", "bao.sdss_dr16_baoplus_elg",
+        "bao.sdss_dr16_baoplus_lyauto", "bao.sdss_dr16_baoplus_lyxqso",
+        "bao.desi_2024_bao_all", "bao.desi_2024_bao_bgs_z1",
+        "bao.desi_2024_bao_lrg_z1", "bao.desi_2024_bao_lrg_z2",
+        "bao.desi_2024_bao_lrgpluselg_z1", "bao.desi_2024_bao_elg_z2",
+        "bao.desi_2024_bao_qso_z1", "bao.desi_2024_bao_lya",
+        "bao.desi_2024_eboss_bao_lya", "bao.desi_dr2",
+        "bao.desi_dr2.desi_bao_all",
+    ]
+    from cobaya_tpu.likelihoods.base_classes.bao import BAO
+
+    for name in names:
+        cls = get_component_class(name, kind="likelihood")
+        assert issubclass(cls, BAO), name
