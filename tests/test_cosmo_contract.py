@@ -324,3 +324,164 @@ def test_bao_variant_classes_resolve():
     for name in names:
         cls = get_component_class(name, kind="likelihood")
         assert issubclass(cls, BAO), name
+
+
+def _write_jla_style_dataset(tmp_path, model0, alpha_true=0.14,
+                             beta_true=3.1):
+    """Synthetic JLA-format dataset generated from the fiducial model."""
+    rng = np.random.default_rng(3)
+    zs = np.linspace(0.05, 0.9, 30)
+    model0.add_requirements({"angular_diameter_distance": {"z": zs}})
+    model0.logposterior([70.0, 0.3])
+    DA = np.asarray(model0.provider.get_angular_diameter_distance(zs))
+    mu = 5 * np.log10((1 + zs) ** 2 * DA)
+    stretch = rng.normal(0, 1, len(zs))
+    colour = rng.normal(0, 0.1, len(zs))
+    scriptm = 24.0
+    mb = mu + scriptm - alpha_true * stretch + beta_true * colour
+    header = ("#name zcmb zhel dz mb dmb x1 dx1 color dcolor 3rdvar "
+              "d3rdvar cov_m_s cov_m_c cov_s_c set")
+    lines = [header]
+    for i, z in enumerate(zs):
+        lines.append(
+            f"sn{i} {z} {z} 0 {mb[i]} 0.1 {stretch[i]} 0.1 "
+            f"{colour[i]} 0.02 0 0 0 0 0 1"
+        )
+    (tmp_path / "lc.txt").write_text("\n".join(lines) + "\n")
+    n = len(zs)
+    np.savetxt(tmp_path / "mag_cov.txt",
+               np.concatenate([[n], (0.01 * np.eye(n)).ravel()]))
+    np.savetxt(tmp_path / "small_cov.txt",
+               np.concatenate([[n], (1e-4 * np.eye(n)).ravel()]))
+    (tmp_path / "syn.dataset").write_text(
+        "data_file = lc.txt\n"
+        "pecz = 0.001\n"
+        "intrinsicdisp = 0\n"
+        "twoscriptmfit = F\n"
+        "has_mag_covmat = T\n"
+        "mag_covmat_file = mag_cov.txt\n"
+        "has_stretch_covmat = T\n"
+        "stretch_covmat_file = small_cov.txt\n"
+        "has_colour_covmat = T\n"
+        "colour_covmat_file = small_cov.txt\n"
+        "has_mag_stretch_covmat = F\n"
+        "has_mag_colour_covmat = F\n"
+        "has_stretch_colour_covmat = F\n"
+    )
+    return str(tmp_path / "syn.dataset")
+
+
+def test_sn_jla_alpha_beta(tmp_path):
+    """JLA-style dataset with sampled alpha/beta: the profiled chi2 is
+    best near the true light-curve coefficients."""
+    info0 = {
+        "theory": {"mock": {"external": MockLCDM}},
+        "likelihood": {"one": None},
+        "params": dict(BASE_PARAMS),
+    }
+    dataset = _write_jla_style_dataset(tmp_path, get_model(info0))
+    info = {
+        "theory": {"mock": {"external": MockLCDM}},
+        "likelihood": {"syn_jla": {
+            "class": "sn.jla",
+            "dataset_file": dataset,
+        }},
+        "params": {**BASE_PARAMS,
+                   "alpha_jla": {"prior": [0.01, 2]},
+                   "beta_jla": {"prior": [0.9, 4.6]}},
+    }
+    model = get_model(info)
+
+    def ll(H0val, Om, a, b):
+        return model.logposterior({
+            "H0val": H0val, "Om": Om, "alpha_jla": a, "beta_jla": b,
+        }).loglikes[0]
+
+    lp_true = ll(70.0, 0.3, 0.14, 3.1)
+    lp_off = ll(70.0, 0.3, 0.5, 2.0)
+    assert np.isfinite(lp_true) and lp_true > lp_off
+    # wrong cosmology is worse at the true alpha/beta
+    assert lp_true > ll(65.0, 0.42, 0.14, 3.1)
+
+
+def test_sn_jla_lite_marginalized(tmp_path):
+    """Grid-marginalized JLA (jla_lite mechanism) runs and prefers the
+    true cosmology."""
+    info0 = {
+        "theory": {"mock": {"external": MockLCDM}},
+        "likelihood": {"one": None},
+        "params": dict(BASE_PARAMS),
+    }
+    dataset = _write_jla_style_dataset(tmp_path, get_model(info0))
+    info = {
+        "theory": {"mock": {"external": MockLCDM}},
+        "likelihood": {"syn_jla_lite": {
+            "class": "sn.jla_lite",
+            "dataset_file": dataset,
+            "marginalize_params": {
+                "marge_steps": 3, "alpha_centre": 0.14,
+                "beta_centre": 3.1, "step_width_alpha": 0.01,
+                "step_width_beta": 0.1},
+        }},
+        "params": dict(BASE_PARAMS),
+    }
+    model = get_model(info)
+    lp_true = model.logposterior([70.0, 0.3]).loglikes[0]
+    lp_off = model.logposterior([64.0, 0.45]).loglikes[0]
+    assert np.isfinite(lp_true) and lp_true > lp_off
+
+
+def test_sn_pantheonplus_format(tmp_path):
+    """Pantheon+-style named-column dataset: z>0.01 mask, Fisher-projected
+    M marginalization (shift in M leaves logp unchanged)."""
+    info0 = {
+        "theory": {"mock": {"external": MockLCDM}},
+        "likelihood": {"one": None},
+        "params": dict(BASE_PARAMS),
+    }
+    m0 = get_model(info0)
+    zs = np.concatenate([[0.005], np.linspace(0.02, 0.8, 25)])
+    m0.add_requirements({"angular_diameter_distance": {"z": zs}})
+    m0.logposterior([70.0, 0.3])
+    DA = np.asarray(m0.provider.get_angular_diameter_distance(zs))
+    mu = 5 * np.log10((1 + zs) ** 2 * DA)
+    mag = mu - 19.3
+    lines = ["# m_b_corr zHD zHEL"]
+    for m, z in zip(mag, zs):
+        lines.append(f"{m} {z} {z}")
+    (tmp_path / "pplus.txt").write_text("\n".join(lines) + "\n")
+    n = len(zs)
+    np.savetxt(tmp_path / "pplus_cov.txt",
+               np.concatenate([[n], (0.01 * np.eye(n)).ravel()]))
+    (tmp_path / "pp.dataset").write_text(
+        "data_file = pplus.txt\nmag_covmat_file = pplus_cov.txt\n"
+    )
+    info = {
+        "theory": {"mock": {"external": MockLCDM}},
+        "likelihood": {"syn_pp": {
+            "class": "sn.pantheonplus",
+            "dataset_file": str(tmp_path / "pp.dataset"),
+        }},
+        "params": dict(BASE_PARAMS),
+    }
+    model = get_model(info)
+    like = list(model.likelihood.values())[0]
+    assert like.nsn == n - 1  # z = 0.005 masked out
+    lp_true = model.logposterior([70.0, 0.3]).loglikes[0]
+    lp_off = model.logposterior([64.0, 0.45]).loglikes[0]
+    # M-projection: logp invariant under a constant magnitude offset
+    like.mag = like.mag + 1.7
+    lp_shift = model.logposterior([70.0, 0.3], cached=False).loglikes[0]
+    assert np.isclose(lp_shift, lp_true, atol=1e-6)
+    assert lp_true > lp_off
+    assert np.isclose(lp_true, 0.0, atol=1e-6)  # exact data -> chi2 = 0
+
+
+def test_sn_variant_classes_resolve():
+    from cobaya_tpu.likelihoods.base_classes.sn import SN
+    from cobaya_tpu.models.component import get_component_class
+
+    for name in ("sn.pantheon", "sn.jla", "sn.jla_lite", "sn.pantheonplus",
+                 "sn.pantheonplusshoes", "sn.union3", "sn.desy5",
+                 "sn.desdovekie"):
+        assert issubclass(get_component_class(name, kind="likelihood"), SN)
