@@ -1,0 +1,11 @@
+"""Planck 2018 CamSpec 12.6HMcl TT
+(reference: cobaya/likelihoods/planck_2018_highl_CamSpec2021/TT.py)."""
+
+from ..base_classes.camspec2021 import CamSpec2021
+
+
+class TT(CamSpec2021):
+    dataset_file = "CamSpec2021/CamSpecHM_12_6_cl.dataset"
+    use_cl = "143x143 217x217 143x217".split()
+    aliases = ["CamSpec2021HM_TT"]
+    speed = 30

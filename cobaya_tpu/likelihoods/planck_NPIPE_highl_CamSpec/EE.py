@@ -5,7 +5,7 @@ from ..base_classes.camspec2021 import Planck2020CamSpecPython
 
 
 class EE(Planck2020CamSpecPython):
-    dataset_file = "CamSpec_NPIPE/CamSpec_NPIPE_12_6.dataset"
+    dataset_file = "CamSpec_NPIPE/CamSpec_NPIPE_12_6_cl.dataset"
     use_cl = "EE".split()
-    aliases = ["CamSpecNPIPE_EE"]
+    aliases = ["CamSpec_NPIPE_EE"]
     speed = 50

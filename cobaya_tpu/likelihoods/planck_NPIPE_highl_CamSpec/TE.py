@@ -5,7 +5,7 @@ from ..base_classes.camspec2021 import Planck2020CamSpecPython
 
 
 class TE(Planck2020CamSpecPython):
-    dataset_file = "CamSpec_NPIPE/CamSpec_NPIPE_12_6.dataset"
+    dataset_file = "CamSpec_NPIPE/CamSpec_NPIPE_12_6_cl.dataset"
     use_cl = "TE".split()
-    aliases = ["CamSpecNPIPE_TE"]
+    aliases = ["CamSpec_NPIPE_TE"]
     speed = 50

@@ -1,0 +1,11 @@
+"""Planck NPIPE (PR4) CamSpec TE+EE
+(reference: cobaya/likelihoods/planck_NPIPE_highl_CamSpec/TEEE.py)."""
+
+from ..base_classes.camspec2021 import Planck2020CamSpecPython
+
+
+class TEEE(Planck2020CamSpecPython):
+    dataset_file = "CamSpec_NPIPE/CamSpec_NPIPE_12_6_cl.dataset"
+    use_cl = "TE EE".split()
+    aliases = ["CamSpec_NPIPE_TEEE"]
+    speed = 60

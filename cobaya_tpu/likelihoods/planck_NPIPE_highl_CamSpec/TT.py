@@ -5,7 +5,7 @@ from ..base_classes.camspec2021 import Planck2020CamSpecPython
 
 
 class TT(Planck2020CamSpecPython):
-    dataset_file = "CamSpec_NPIPE/CamSpec_NPIPE_12_6.dataset"
-    use_cl = "100x100 143x143 217x217 143x217".split()
-    aliases = ["CamSpecNPIPE_TT"]
+    dataset_file = "CamSpec_NPIPE/CamSpec_NPIPE_12_6_cl.dataset"
+    use_cl = "143x143 217x217 143x217".split()
+    aliases = ["CamSpec_NPIPE_TT"]
     speed = 50

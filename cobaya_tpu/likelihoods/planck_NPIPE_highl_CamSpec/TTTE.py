@@ -1,0 +1,11 @@
+"""Planck NPIPE (PR4) CamSpec TT+TE
+(reference: cobaya/likelihoods/planck_NPIPE_highl_CamSpec/TTTE.py)."""
+
+from ..base_classes.camspec2021 import Planck2020CamSpecPython
+
+
+class TTTE(Planck2020CamSpecPython):
+    dataset_file = "CamSpec_NPIPE/CamSpec_NPIPE_12_6_cl.dataset"
+    use_cl = "143x143 217x217 143x217 TE".split()
+    aliases = ["CamSpec_NPIPE_TTTEEE"]
+    speed = 15

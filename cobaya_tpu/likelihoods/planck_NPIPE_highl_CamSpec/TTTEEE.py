@@ -5,7 +5,7 @@ from ..base_classes.camspec2021 import Planck2020CamSpecPython
 
 
 class TTTEEE(Planck2020CamSpecPython):
-    dataset_file = "CamSpec_NPIPE/CamSpec_NPIPE_12_6.dataset"
-    use_cl = "100x100 143x143 217x217 143x217 TE EE".split()
-    aliases = ["CamSpecNPIPE_TTTEEE"]
+    dataset_file = "CamSpec_NPIPE/CamSpec_NPIPE_12_6_cl.dataset"
+    use_cl = "143x143 217x217 143x217 TE EE".split()
+    aliases = ["CamSpec_NPIPE_TTTEEE"]
     speed = 50

@@ -485,3 +485,34 @@ def test_sn_variant_classes_resolve():
                  "sn.pantheonplusshoes", "sn.union3", "sn.desy5",
                  "sn.desdovekie"):
         assert issubclass(get_component_class(name, kind="likelihood"), SN)
+
+
+def test_planck_variant_classes_resolve():
+    """Every reference Planck likelihood variant resolves to a class."""
+    from cobaya_tpu.models.component import get_component_class
+
+    names = [
+        "planck_2018_lowl.TT", "planck_2018_lowl.EE",
+        "planck_2018_lowl.EE_sroll2", "planck_2018_lowl.TT_clik",
+        "planck_2018_lowl.EE_clik",
+        "planck_2018_highl_plik.TT", "planck_2018_highl_plik.TE",
+        "planck_2018_highl_plik.EE", "planck_2018_highl_plik.TTTEEE",
+        "planck_2018_highl_plik.TT_lite", "planck_2018_highl_plik.TTTEEE_lite",
+        "planck_2018_highl_plik.TT_lite_native",
+        "planck_2018_highl_plik.TTTEEE_lite_native",
+        "planck_2018_highl_plik.TT_unbinned",
+        "planck_2018_highl_plik.TTTEEE_unbinned",
+        "planck_2018_highl_CamSpec.TT", "planck_2018_highl_CamSpec.TTTEEE",
+        "planck_2018_highl_CamSpec2021.TT", "planck_2018_highl_CamSpec2021.TE",
+        "planck_2018_highl_CamSpec2021.EE", "planck_2018_highl_CamSpec2021.TEEE",
+        "planck_2018_highl_CamSpec2021.TTTE",
+        "planck_2018_highl_CamSpec2021.TTTEEE",
+        "planck_NPIPE_highl_CamSpec.TT", "planck_NPIPE_highl_CamSpec.TE",
+        "planck_NPIPE_highl_CamSpec.EE", "planck_NPIPE_highl_CamSpec.TEEE",
+        "planck_NPIPE_highl_CamSpec.TTTE", "planck_NPIPE_highl_CamSpec.TTTEEE",
+        "planck_2018_lensing.native", "planck_2018_lensing.CMBMarged",
+        "planck_2018_lensing.clik",
+    ]
+    for name in names:
+        cls = get_component_class(name, kind="likelihood")
+        assert isinstance(cls, type), name
