@@ -171,3 +171,96 @@ def test_bicep_likelihood_with_foregrounds(matrix_dataset, tmp_path):
                                              BBdustsynccorr=0))
     assert np.all(with_fg >= no_fg - 1e-12)
     assert with_fg[0, 0, 0] > no_fg[0, 0, 0]
+
+
+def test_bicep_bandpass_integration(tmp_path):
+    """Bandpass-integrated scalings: a narrow top-hat approaches the
+    delta-bandpass analytic scaling; wide bands differ (color correction);
+    band-center errors reduce to 1 at gamma = 0."""
+    import numpy as np
+
+    from cobaya_tpu.likelihoods.bicep_keck_2018.bicep_keck_2018 import (
+        dust_scaling_bandpass,
+        greybody_scaling,
+        load_bandpass,
+        sync_scaling,
+        sync_scaling_bandpass,
+    )
+
+    # narrow top-hat at 150 GHz
+    nu = np.linspace(149.5, 150.5, 11)
+    np.savetxt(tmp_path / "narrow.txt",
+               np.column_stack([nu, np.ones_like(nu)]))
+    bp = load_bandpass(str(tmp_path / "narrow.txt"))
+    assert np.isclose(bp.nu_bar, 150.0, atol=1e-6)
+    f_d = dust_scaling_bandpass(1.59, 19.6, bp)
+    f_s = sync_scaling_bandpass(-3.1, bp)
+    assert np.isclose(f_d, greybody_scaling(150.0, 1.59, 19.6), rtol=1e-4)
+    assert np.isclose(f_s, sync_scaling(150.0, -3.1), rtol=1e-4)
+    # wide band: color correction shifts the scaling away from the
+    # band-center delta value
+    nu_w = np.linspace(120, 180, 121)
+    np.savetxt(tmp_path / "wide.txt",
+               np.column_stack([nu_w, np.ones_like(nu_w)]))
+    bp_w = load_bandpass(str(tmp_path / "wide.txt"))
+    f_d_w = dust_scaling_bandpass(1.59, 19.6, bp_w)
+    assert not np.isclose(f_d_w, greybody_scaling(bp_w.nu_bar, 1.59, 19.6),
+                          rtol=1e-4)
+    # band-center error continuous at err -> 1
+    f_err = dust_scaling_bandpass(1.59, 19.6, bp_w, bandcenter_err=1.0001)
+    assert np.isclose(f_err, f_d_w, rtol=1e-3)
+
+
+def test_bicep_decorrelation():
+    import numpy as np
+
+    from cobaya_tpu.likelihoods.bicep_keck_2018.bicep_keck_2018 import (
+        decorrelation,
+    )
+
+    rat = np.array([0.5, 1.0, 2.0])
+    # delta = 1: no decorrelation
+    assert np.allclose(decorrelation(1.0, 95, 150, [217, 353], rat), 1.0)
+    # at the pivot pair, flat lform returns delta itself
+    assert np.isclose(decorrelation(0.97, 217, 353, [217, 353], 1.0), 0.97)
+    # lin lform decreases correlation with ell
+    d = decorrelation(0.97, 95, 220, [217, 353], rat, "lin")
+    assert d[2] < d[1] < d[0] <= 1.0
+    assert np.all(d > 0)  # exponential remap keeps it positive
+    # non-physical delta > 1 branch stays above 1
+    assert decorrelation(1.02, 217, 353, [217, 353], 1.0) > 1.0
+
+
+def test_bicep_bandpass_files_in_likelihood(matrix_dataset, tmp_path):
+    """End-to-end: BK likelihood with measured bandpass files and
+    decorrelation evaluates finitely and decorrelation changes logp."""
+    files = {}
+    for name, center in zip(("95", "150"), (95.0, 150.0)):
+        nu = np.linspace(center * 0.9, center * 1.1, 41)
+        path = tmp_path / f"bp_{name}.txt"
+        np.savetxt(path, np.column_stack([nu, np.ones_like(nu)]))
+        files[name] = str(path)
+    info = _theory_info(
+        matrix_dataset,
+        cls="cobaya_tpu.likelihoods.bicep_keck_2018.bicep_keck_2018",
+        extra={"bandpass_files": files, "lform_dust_decorr": "lin"},
+    )
+    fg = {"BBdust": 3.0, "BBsync": 1.0, "BBalphadust": -0.42,
+          "BBbetadust": 1.59, "BBalphasync": -0.6, "BBbetasync": -3.1,
+          "BBdustsynccorr": 0.2, "BBTdust": 19.6}
+    info["params"].update(fg)
+    model = get_model(info)
+    like = list(model.likelihood.values())[0]
+    assert all(bp is not None for bp in like.bandpasses)
+    assert np.isclose(like.map_freqs[0], 95.0, atol=0.5)
+    lp0 = model.logposterior([1.0]).loglikes[0]
+    assert np.isfinite(lp0)
+    # decorrelation lowers cross-frequency foreground power -> different logp
+    info2 = _theory_info(
+        matrix_dataset,
+        cls="cobaya_tpu.likelihoods.bicep_keck_2018.bicep_keck_2018",
+        extra={"bandpass_files": files, "lform_dust_decorr": "lin"},
+    )
+    info2["params"].update(dict(fg, delta_dust=0.9))
+    lp1 = get_model(info2).logposterior([1.0]).loglikes[0]
+    assert np.isfinite(lp1) and not np.isclose(lp0, lp1)
