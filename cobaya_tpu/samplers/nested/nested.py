@@ -16,7 +16,10 @@ generation, vmapped over the batch, with fixed-iteration masked step-out /
 shrink loops.  The evidence ledger (tiny, sequential) runs on host in f64
 from one fetch per generation.  Posterior clusters with per-cluster
 evidences are identified by friends-of-friends linking in whitened
-coordinates (cluster-aware live-point evolution is a tracked refinement).
+coordinates.  With ``cluster_evolution`` (default on), the live points are
+periodically FoF-clustered on the host and each slice chain whitens with
+its own cluster's covariance (PolyChord-style cluster-aware evolution),
+branchlessly inside the same jitted generation.
 """
 
 from __future__ import annotations
@@ -45,6 +48,9 @@ class Nested(Sampler):
     precision: str
     do_clustering: bool
     max_clusters: int
+    cluster_evolution: bool
+    cluster_every: int
+    cluster_linking_scale: float
 
     def initialize(self):
         import jax
@@ -255,7 +261,8 @@ class Nested(Sampler):
             u, logL, cache, _, _, _, n_ev = carry
             return u, logL, cache, n_ev
 
-        def generation(u_live, logL_live, cache_live, key):
+        def generation(u_live, logL_live, cache_live, key, cluster_ids,
+                       cluster_whitens, use_clusters):
             order = jnp.argsort(logL_live)
             kill = order[:K]
             survive = order[K:]
@@ -281,19 +288,29 @@ class Nested(Sampler):
             starts = jax.random.choice(k_pick, survive, (K,), replace=True)
             keys = jax.random.split(k_slice, K)
             cache_starts = jax.tree.map(lambda a: a[starts], cache_live)
+            # cluster-aware whitening: each chain uses its own cluster's
+            # per-block transforms when host clustering is active, else the
+            # global live-point covariance (branchless select)
+            cid_starts = cluster_ids[starts]
+            w_starts = jnp.where(
+                use_clusters,
+                cluster_whitens[cid_starts],
+                jnp.broadcast_to(whitens, (K,) + whitens.shape),
+            )
             new_u, new_logL, new_cache, n_ev = jax.vmap(
-                replace_one, in_axes=(0, 0, 0, None, None, 0)
+                replace_one, in_axes=(0, 0, 0, None, 0, 0)
             )(u_live[starts], logL_live[starts], cache_starts, Lmin,
-              whitens, keys)
+              w_starts, keys)
             u_live = u_live.at[kill].set(new_u)
             logL_live = logL_live.at[kill].set(new_logL)
+            cluster_ids = cluster_ids.at[kill].set(cid_starts)
             cache_live = jax.tree.map(
                 lambda full, new: full.at[kill].set(new), cache_live,
                 new_cache,
             )
             stuck = jnp.sum(new_logL <= Lmin)
-            return (u_live, logL_live, cache_live, key, dead_u, dead_logL,
-                    jnp.sum(n_ev), stuck)
+            return (u_live, logL_live, cache_live, key, cluster_ids, dead_u,
+                    dead_logL, jnp.sum(n_ev), stuck)
 
         return generation
 
@@ -327,6 +344,13 @@ class Nested(Sampler):
         logL_live = self._loglike_batch(u_live)
         cache_live = self._init_cache(u_live)
         self._n_evals += n
+        # cluster-aware evolution state (host recomputed periodically)
+        n_blocks = len(self._block_indices)
+        maxc = max(int(self.max_clusters), 1)
+        cluster_ids = jnp.zeros(n, jnp.int32)
+        cluster_whitens = jnp.zeros((maxc, n_blocks, d, d), self._dtype)
+        use_clusters = jnp.asarray(False)
+        cluster_every = max(int(self.cluster_every), 1)
         self.mpi_info(
             "Nested sampling: nlive=%d, batch=%d, num_repeats=%d (d=%d)",
             n, K, self._num_repeats * d, d,
@@ -339,8 +363,23 @@ class Nested(Sampler):
         it = 0
         while True:
             it += 1
-            (u_live, logL_live, cache_live, key, dead_u, dead_logL, n_ev,
-             stuck) = self._generation(u_live, logL_live, cache_live, key)
+            (u_live, logL_live, cache_live, key, cluster_ids, dead_u,
+             dead_logL, n_ev, stuck) = self._generation(
+                u_live, logL_live, cache_live, key, cluster_ids,
+                cluster_whitens, use_clusters,
+            )
+            if self.cluster_evolution and it % cluster_every == 0:
+                labels, whitens_h = self._cluster_live_points(
+                    np.asarray(jax.device_get(u_live))
+                )
+                if whitens_h is not None:
+                    cluster_ids = jnp.asarray(labels, jnp.int32)
+                    pad = np.zeros((maxc, n_blocks, d, d), self._dtype)
+                    pad[:whitens_h.shape[0]] = whitens_h
+                    cluster_whitens = jnp.asarray(pad)
+                    use_clusters = jnp.asarray(True)
+                else:
+                    use_clusters = jnp.asarray(False)
             dead_u_h, dead_logL_h, logL_live_h, n_ev_h, stuck_h = (
                 jax.device_get((dead_u, dead_logL, logL_live, n_ev, stuck))
             )
@@ -436,6 +475,73 @@ class Nested(Sampler):
                 self.get_name() + cv.Extension.evidence, separator="."
             ), "w", encoding="utf-8") as f:
                 f.write(f"logZ = {self.logZ:.6f} +/- {self.logZstd:.6f}\n")
+
+    def _cluster_live_points(self, u: np.ndarray):
+        """FoF-cluster the live points; return per-point labels and the
+        per-cluster per-block whitening transforms, or (None, None) when a
+        single cluster suffices.
+
+        PolyChord's cluster-aware evolution equivalent: slice chains whiten
+        with their own mode's covariance so step sizes stay local.
+        """
+        n, d = u.shape
+        mu = u.mean(0)
+        dx = u - mu
+        cov = dx.T @ dx / max(n - 1, 1) + 1e-10 * np.eye(d)
+        try:
+            white = dx @ np.linalg.inv(np.linalg.cholesky(cov)).T
+        except np.linalg.LinAlgError:
+            white = dx
+        link = float(getattr(self, "cluster_linking_scale", 0.5) or 0.5)
+        # FoF union-find on the (small) live set
+        parent = np.arange(n)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        d2 = ((white[:, None, :] - white[None, :, :]) ** 2).sum(-1)
+        for i, j in np.argwhere((d2 < (link * 2) ** 2) & (d2 > 0)):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[rj] = ri
+        labels = np.unique([find(i) for i in range(n)],
+                           return_inverse=True)[1]
+        k = labels.max() + 1
+        if k <= 1:
+            return None, None
+        # merge clusters too small to define a covariance into the nearest
+        min_pts = max(d + 2, 5)
+        sizes = np.bincount(labels, minlength=k)
+        big = np.flatnonzero(sizes >= min_pts)
+        if len(big) <= 1:
+            return None, None
+        if len(big) > int(self.max_clusters):
+            big = big[np.argsort(sizes[big])[::-1][:int(self.max_clusters)]]
+        centers = np.stack([white[labels == j].mean(0) for j in big])
+        dists = ((white[:, None, :] - centers[None]) ** 2).sum(-1)
+        labels = np.argmin(dists, axis=1)  # 0..len(big)-1
+        # per-cluster per-block padded cholesky transforms
+        n_blocks = len(self._block_indices)
+        whitens = np.zeros((len(big), n_blocks, d, d))
+        for c in range(len(big)):
+            members = u[labels == c]
+            mu_c = members.mean(0)
+            cov_c = ((members - mu_c).T @ (members - mu_c)
+                     / max(len(members) - 1, 1)) + 1e-8 * np.eye(d)
+            for b, idxs in enumerate(self._block_indices):
+                idxs = np.asarray(idxs)
+                sub = cov_c[np.ix_(idxs, idxs)]
+                try:
+                    chol = np.linalg.cholesky(sub)
+                except np.linalg.LinAlgError:
+                    chol = np.diag(np.sqrt(np.diag(sub)))
+                whitens[c, b][np.ix_(idxs, idxs)] = chol
+        self.mpi_info("Live-point clustering: %d modes (sizes %s).",
+                      len(big), np.bincount(labels).tolist())
+        return labels, whitens.astype(self.precision)
 
     def _compute_clusters(self):
         """Posterior-sample clustering with per-cluster evidences.
