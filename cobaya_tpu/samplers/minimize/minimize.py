@@ -35,6 +35,8 @@ class Minimize(CovmatSampler):
     best_of: int
     confidence_for_unbounded: float
     override_scipy: Optional[dict]
+    override_bobyqa: Optional[dict]
+    override_iminuit: Optional[dict]
 
     _is_minimizer = True
 
@@ -64,6 +66,22 @@ class Minimize(CovmatSampler):
         method = self.method
         if method == "auto":
             method = "lbfgs" if self._jittable else "scipy"
+        if method in ("bobyqa", "iminuit"):
+            # reference method names: use the external optimizer when it is
+            # installed, otherwise the scipy derivative-free path
+            module = {"bobyqa": "pybobyqa", "iminuit": "iminuit"}[method]
+            try:
+                __import__(module)
+                self._external_optimizer = method
+            except ImportError:
+                self.mpi_warning(
+                    "'%s' requested but %s is not installed; using the "
+                    "scipy fallback.", method, module,
+                )
+                self._external_optimizer = None
+            method = "scipy"
+        else:
+            self._external_optimizer = None
         self._method = method
         self.result = None
         self.minimum: Optional[SampleCollection] = None
@@ -229,6 +247,10 @@ class Minimize(CovmatSampler):
             (lo if np.isfinite(lo) else None, hi if np.isfinite(hi) else None)
             for lo, hi in self._bounds
         ]
+        if getattr(self, "_external_optimizer", None) == "bobyqa":
+            return self._run_bobyqa(objective, x0)
+        if getattr(self, "_external_optimizer", None) == "iminuit":
+            return self._run_iminuit(objective, x0, bounds)
         kwargs = {"method": "Nelder-Mead"} if not polish else {
             "method": "Nelder-Mead",
             "options": {"xatol": 1e-8, "fatol": 1e-10},
@@ -245,6 +267,44 @@ class Minimize(CovmatSampler):
             xs.append(res.x)
             fs.append(res.fun)
             n += int(res.get("nfev", 0))
+        return np.stack(xs), np.asarray(fs), n
+
+    def _run_bobyqa(self, objective, x0):
+        """py-bobyqa backend (reference minimize.py bobyqa method)."""
+        import pybobyqa
+
+        lo = np.where(np.isfinite(self._bounds[:, 0]), self._bounds[:, 0],
+                      -1e30)
+        hi = np.where(np.isfinite(self._bounds[:, 1]), self._bounds[:, 1],
+                      1e30)
+        kwargs = {
+            "bounds": (lo, hi), "seek_global_minimum": True,
+            "objfun_has_noise": False,
+            "maxfun": int(self._max_evals),
+        }
+        kwargs.update(getattr(self, "override_bobyqa", None) or {})
+        xs, fs, n = [], [], 0
+        for start in x0:
+            res = pybobyqa.solve(objective, np.asarray(start, float),
+                                 **kwargs)
+            xs.append(res.x)
+            fs.append(res.f)
+            n += int(res.nf)
+        return np.stack(xs), np.asarray(fs), n
+
+    def _run_iminuit(self, objective, x0, bounds):
+        """iminuit backend (reference minimize.py iminuit method)."""
+        from iminuit import minimize as iminuit_minimize
+
+        kwargs = {"bounds": bounds}
+        kwargs.update(getattr(self, "override_iminuit", None) or {})
+        xs, fs, n = [], [], 0
+        for start in x0:
+            res = iminuit_minimize(objective, np.asarray(start, float),
+                                   **kwargs)
+            xs.append(res.x)
+            fs.append(res.fun)
+            n += int(getattr(res, "nfev", 0))
         return np.stack(xs), np.asarray(fs), n
 
     # ------------------------------------------------------------------

@@ -94,3 +94,24 @@ def test_minimize_after_chain_starts_from_map(tmp_path):
 
     assert os.path.exists(prefix + ".minimum.txt")
     # the sampler resume check must not complain about the sampler swap
+
+
+def test_minimize_external_method_fallback():
+    """Reference method names bobyqa/iminuit fall back to scipy when the
+    external package is missing (and still find the minimum)."""
+    import numpy as np
+
+    from cobaya_tpu.run import run
+
+    info = {
+        "params": {"x": {"prior": [-2, 2], "ref": 0.3}},
+        "likelihood": {"gauss": {
+            "external": lambda x: -0.5 * (x - 0.7) ** 2 / 0.01,
+            "input_params": ["x"],
+        }},
+        "sampler": {"minimize": {"method": "bobyqa", "best_of": 2,
+                                 "seed": 4}},
+    }
+    _, sampler = run(info)
+    x_min = sampler.products()["minimum"].data[0][2]
+    assert np.isclose(x_min, 0.7, atol=1e-3)
