@@ -71,6 +71,7 @@ class MCMC(CovmatSampler):
     records_per_epoch: int
     output_chains: int
     fetch_chains: Optional[int]
+    pipeline_epochs: bool
     precision: str
 
     supports_periodic_params = True
@@ -188,6 +189,14 @@ class MCMC(CovmatSampler):
         self._stats_fn = jax.jit(epoch_stats)
         self._n_fetch = min(self.fetch_chains or self.n_chains,
                             self.n_chains)
+        import os as _os
+
+        self._timing_epochs = bool(_os.environ.get("COBAYA_TPU_TIMING"))
+        self._epoch_timing = {"compute": 0.0, "stats": 0.0, "fetch": 0.0,
+                              "n": 0}
+        # window reset decided at a collect, applied at the next dispatch
+        # (keeps pipelined epochs' statistics consistent)
+        self._pending_reset = None
         # --- state ----------------------------------------------------------------
         self.n_steps = 0  # per-walker steps completed (post burn-in counting all)
         self._win_steps = [0, 0]  # lengths of the two staggered windows
@@ -386,14 +395,34 @@ class MCMC(CovmatSampler):
         if self._burn_in:
             self._carry = reset_moments(self._carry)
             self._win_steps = [0, 0]
+        # pipelined epochs: the next epoch is dispatched before the
+        # previous one's statistics reach the host, hiding the host link
+        # round-trip behind device compute.  Proposal/reset updates then
+        # take effect one epoch later (valid adaptive MCMC: the proposal
+        # still only changes at epoch boundaries).  With file output the
+        # checkpoint transfer serializes epochs anyway (and exact resume
+        # requires records to match the saved state), so speculation is
+        # only used without output.
+        pipelined = bool(self.pipeline_epochs) and not self.output
+        pending = None
         while not self.converged and self.n_steps < self.max_samples:
-            self._run_epoch(self._learn_every, record=True)
+            current = pending or self._dispatch_epoch(self._learn_every)
+            pending = None
+            if pipelined and (
+                self.n_steps + 2 * current["total"] <= self.max_samples
+            ):
+                pending = self._dispatch_epoch(self._learn_every)
+            self._collect_epoch(current)
             self._check_convergence_and_learn_proposal()
             self._write_checkpoint()
             if self.callback_function and self.callback_every and (
                 len(self._progress) % self.callback_every == 0
             ):
                 self.callback_function(self)
+        if pending is not None:
+            # the speculative epoch is valid post-convergence sampling:
+            # collect its records instead of discarding the device work
+            self._collect_epoch(pending)
         if self.converged:
             self.mpi_info(
                 "Convergence reached: R-1 = %.4g (means), %.4g (CL bounds) "
@@ -406,12 +435,36 @@ class MCMC(CovmatSampler):
                 "Stopped at max_samples=%s without convergence "
                 "(R-1 = %.4g).", self.max_samples, self.Rminus1_last,
             )
+        if self._timing_epochs and self._epoch_timing["n"]:
+            t = self._epoch_timing
+            self.mpi_info(
+                "Epoch timing over %d epochs: compute %.2fs, stats %.2fs, "
+                "host fetch %.2fs (%.0f%% of wall).", t["n"], t["compute"],
+                t["stats"], t["fetch"],
+                100 * t["fetch"] / max(t["compute"] + t["stats"]
+                                       + t["fetch"], 1e-9),
+            )
         self._flush_output(final=True)
 
-    def _run_epoch(self, n_steps: int, record: bool = True):
+    def _dispatch_epoch(self, n_steps: int, record: bool = True) -> dict:
+        """Dispatch one epoch + its on-device statistics (non-blocking).
+
+        Window resets decided at the previous collect apply here, so the
+        dispatched epoch's statistics always match the bookkeeping snapshot
+        stored with it (pipelined mode dispatches the next epoch before the
+        previous one's statistics reach the host).
+        """
         import jax
         import jax.numpy as jnp
 
+        if self._pending_reset is not None:
+            which = self._pending_reset
+            self._pending_reset = None
+            self._carry = reset_moments(self._carry, which)
+            if which in ("mom", "both"):
+                self._win_steps[0] = 0
+            if which in ("mom2", "both"):
+                self._win_steps[1] = 0
         n_rec, thin = self._epoch_shape(n_steps)
         total = n_rec * thin
         schedule = make_block_schedule(
@@ -422,26 +475,51 @@ class MCMC(CovmatSampler):
             *self._direction_xs(schedule), *self._prop_dev
         )
         self._carry = carry
-        self.n_steps += total
         self._win_steps = [w + total for w in self._win_steps]
-        # ONE bundled host fetch per epoch: scalars, a (d,d) matrix, and a
-        # record subsample of fetch_chains walkers
         nf = self._n_fetch
         fetch_recs = jax.tree.map(lambda a: a[:, :nf], recs) if record \
             else None
-        stats_h, recs_h = jax.device_get((
-            self._stats_fn(carry), fetch_recs,
-        ))
+        return {
+            "carry": carry, "recs": fetch_recs, "thin": thin,
+            "total": total, "record": record,
+            "stats": self._stats_fn(carry),
+            "win_steps": list(self._win_steps),
+        }
+
+    def _collect_epoch(self, ep: dict):
+        """Fetch an epoch's statistics + record subsample (ONE bundled
+        device transfer) and process them."""
+        import jax
+
+        if self._timing_epochs:
+            import time as _time
+
+            t0 = _time.perf_counter()
+            jax.block_until_ready(ep["carry"].x)
+            t1 = _time.perf_counter()
+            jax.block_until_ready(jax.tree.leaves(ep["stats"]))
+            t2 = _time.perf_counter()
+            stats_h, recs_h = jax.device_get((ep["stats"], ep["recs"]))
+            t3 = _time.perf_counter()
+            self._epoch_timing["compute"] += t1 - t0
+            self._epoch_timing["stats"] += t2 - t1
+            self._epoch_timing["fetch"] += t3 - t2
+            self._epoch_timing["n"] += 1
+        else:
+            stats_h, recs_h = jax.device_get((ep["stats"], ep["recs"]))
+        total, thin = ep["total"], ep["thin"]
+        self.n_steps += total
         (stats_a, stats_b, acc_mean, streak) = stats_h
-        # primary window = the longer one
-        primary = 0 if self._win_steps[0] >= self._win_steps[1] else 1
+        # primary window = the longer one (snapshot taken at dispatch)
+        win_steps = ep["win_steps"]
+        primary = 0 if win_steps[0] >= win_steps[1] else 1
         rminus1, mean_of_covs, cov_of_means = (stats_a, stats_b)[primary]
         self._last_stats = {
             "rminus1": float(rminus1),
             "mean_of_covs": np.asarray(mean_of_covs, float),
             "cov_of_means": np.asarray(cov_of_means, float),
         }
-        if record:
+        if ep["record"] and recs_h is not None:
             host_recs = {
                 "x": np.asarray(recs_h.x, np.float32),
                 "logpost": np.asarray(recs_h.logpost, np.float32),
@@ -475,6 +553,9 @@ class MCMC(CovmatSampler):
                 self._acceptance_rate, self.Rminus1_last,
             )
             self._t_last_print = now
+
+    def _run_epoch(self, n_steps: int, record: bool = True):
+        self._collect_epoch(self._dispatch_epoch(n_steps, record=record))
 
     def _append_to_collections(self, recs: dict):
         for i, coll in enumerate(self._collections):
@@ -548,10 +629,9 @@ class MCMC(CovmatSampler):
             longer = 0 if self._win_steps[0] >= self._win_steps[1] else 1
             shorter = 1 - longer
             if self._win_steps[shorter] >= self.n_steps / 4:
-                self._carry = reset_moments(
-                    self._carry, "mom" if longer == 0 else "mom2"
-                )
-                self._win_steps[longer] = 0
+                # applied at the next dispatch (keeps pipelined epochs'
+                # statistics consistent with their bookkeeping snapshot)
+                self._pending_reset = "mom" if longer == 0 else "mom2"
         self._progress.append({
             "N": self.n_steps,
             "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
