@@ -192,3 +192,24 @@ def test_jobqueue_submit_and_delete(tmp_path):
     assert delete_jobs(batch, names=["job1"]) == [job_id]
     assert JobIndex(batch).jobs == {}
     assert parse_job_id("Submitted batch job 4242\n") == "4242"
+
+
+def test_gui_composer_backend():
+    """The GUI composer produces the same inputs as create_input; Qt is
+    optional (text fallback when no binding is importable)."""
+    from cobaya_tpu.cosmo_input import create_input
+    from cobaya_tpu.cosmo_input.gui import _Composer, _field_choices
+
+    c = _Composer()
+    c.set_preset("planck_2018_camb")
+    info = c.info()
+    assert info == create_input(preset="planck_2018_camb")
+    assert "theory" in c.yaml_text()
+    # manual field choice propagates
+    c2 = _Composer()
+    c2.choices["hubble"] = "H"
+    c2.choices["primordial"] = "SFSR"
+    c2.choices["like_H0"] = "Riess2020"
+    info2 = c2.info()
+    assert "H0.riess2020" in info2["likelihood"]
+    assert "none" in _field_choices("geometry") or _field_choices("geometry")
