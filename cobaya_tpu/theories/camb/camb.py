@@ -140,17 +140,38 @@ class CAMB(BoltzmannBase):
             args.setdefault("lmax", max(cls_req.values()) + 500)
             args.setdefault("lens_potential_accuracy", 1)
         pk_req = self._must_provide.get("Pk_interpolator") or \
-            self._must_provide.get("Pk_grid")
+            self._must_provide.get("Pk_grid") or \
+            self._must_provide.get("sigma_R")
         if pk_req is not None:
             args.setdefault("redshifts",
                             np.atleast_1d(pk_req.get("z", [0.0]))[::-1])
             args.setdefault("kmax", pk_req.get("k_max", 2.0))
         try:
-            return self.camb.set_params(**args)
+            pars = self.camb.set_params(**args)
         except Exception as exc:
             raise LoggedError(
                 self.log, "Error setting CAMB parameters %r: %s", args, exc
             ) from exc
+        # number-count / lensing-window sources (reference camb.py:997-1013)
+        src = self._must_provide.get("source_Cl")
+        if src and src.get("sources"):
+            camb_sources = self.camb.sources
+            windows = []
+            for _, window in src["sources"].items():
+                window = dict(window)
+                function = window.pop("function", "gaussian")
+                if function == "spline":
+                    windows.append(
+                        camb_sources.SplinedSourceWindow(**window)
+                    )
+                else:
+                    windows.append(
+                        camb_sources.GaussianSourceWindow(**window)
+                    )
+            pars.SourceWindows = windows
+            if "limber" in src:
+                pars.SourceTerms.limber_windows = bool(src["limber"])
+        return pars
 
     def _apply_initial_power(self, pars, params_values_dict):
         """Set the host's (fast) initial-power params on a CAMBparams copy."""
@@ -260,6 +281,30 @@ class CAMB(BoltzmannBase):
                     state[("Pk_grid", nonlinear) + tuple(pair)] = (
                         np.asarray(z_out), np.asarray(kh), np.asarray(pk)
                     )
+        if "sigma_R" in mp:
+            # RMS fluctuation in spheres of radius R [Mpc] at requested z
+            # (reference camb.py:513-546)
+            spec = mp["sigma_R"]
+            from ..cosmo.boltzmannbase import _norm_pairs
+
+            R = np.atleast_1d(spec.get("R", np.linspace(8, 100, 10)))
+            for pair in _norm_pairs(spec.get("vars_pairs")):
+                try:
+                    R_out, z_out, sigma = results.get_sigmaR(
+                        R, var1=pair[0], var2=pair[1], hubble_units=False,
+                        return_R_z=True,
+                    )
+                except TypeError:  # older camb without return_R_z
+                    sigma = results.get_sigmaR(
+                        R, var1=pair[0], var2=pair[1], hubble_units=False,
+                    )
+                    R_out = R
+                    z_out = np.atleast_1d(spec.get("z", [0.0]))
+                state[("sigma_R",) + tuple(pair)] = (
+                    np.asarray(z_out), np.asarray(R_out), np.asarray(sigma)
+                )
+        if "source_Cl" in mp:
+            state["source_Cl"] = results.get_source_cls_dict()
         if want_derived:
             state["derived"] = self._get_derived(results, params_values_dict)
         return True
