@@ -105,8 +105,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--n-chains", type=int, default=16384)
     parser.add_argument("--dim", type=int, default=50)
-    parser.add_argument("--sampler", default="mcmc",
-                        choices=["mcmc", "hmc"])
+    parser.add_argument(
+        "--sampler", default="hmc", choices=["mcmc", "hmc"],
+        help="hmc (default): gradient-based kernel, exploits the jitted "
+             "posterior; mcmc: the reference's Metropolis algorithm for "
+             "apples-to-apples comparison")
     ns = parser.parse_args()
     t_setup = time.time()
     import jax
@@ -119,7 +122,9 @@ def main():
         opts = info["sampler"].pop("mcmc")
         for k in ("oversample_power",):
             opts.pop(k, None)
-        opts.update({"leapfrog_steps": 12})
+        # HMC records are fully decorrelated at much denser thinning
+        # (tau(rec) ~ 1 at 1/31 retention), so retain more of them
+        opts.update({"leapfrog_steps": 12, "records_per_epoch": 512})
         info["sampler"] = {"hmc": opts}
     n_dev = len(jax.devices())
     model = get_model({k: v for k, v in info.items() if k != "sampler"})
