@@ -109,11 +109,13 @@ class CAMB(BoltzmannBase):
     )
 
     def get_can_support_params(self):
+        # sigma8 may replace As as the power amplitude input: spectra are
+        # computed with the default As and rescaled (reference camb.py:731)
         if self._transfers is not None:
             # transfer/background params route to the helper
             return [p for p in self._all_supported_params
-                    if p in _INITIAL_POWER_PARAMS]
-        return list(self._all_supported_params)
+                    if p in _INITIAL_POWER_PARAMS] + ["sigma8"]
+        return list(self._all_supported_params) + ["sigma8"]
 
     def must_provide(self, **requirements):
         out = super().must_provide(**requirements)
@@ -130,9 +132,20 @@ class CAMB(BoltzmannBase):
         }
         return out
 
+    def initialize_with_params(self):
+        if "sigma8" in (self.input_params or []) and "As" in (
+            self.input_params or []
+        ):
+            raise LoggedError(
+                self.log, "Both As and sigma8 given as input: the power "
+                "amplitude would be ill-defined.",
+            )
+        super().initialize_with_params()
+
     # ------------------------------------------------------------------
     def _set_params(self, params_values: Mapping) -> Any:
-        args = {self.translate_param(p): v for p, v in params_values.items()}
+        args = {self.translate_param(p): v for p, v in params_values.items()
+                if p != "sigma8"}
         args.update(self.extra_args or {})
         # lmax from Cl requirements
         cls_req = self._must_provide.get("Cl", {})
@@ -186,9 +199,18 @@ class CAMB(BoltzmannBase):
             pars.InitPower.set_params(**init_power)
         return pars
 
+    def _rescale_to_sigma8(self, pars, results, sigma8_target: float):
+        """Rescale As so sigma8(0) hits the requested value, then
+        recompute the power spectra (reference camb.py:731-736)."""
+        measured = float(results.get_sigma8_0())
+        pars.InitPower.As *= float(sigma8_target) ** 2 / measured**2
+        results.calc_power_spectra(pars)
+        return pars
+
     def calculate(self, state: dict, want_derived: bool = True,
                   **params_values_dict):
         try:
+            sigma8_target = params_values_dict.get("sigma8")
             if self._transfers is not None:
                 # fast path: apply initial power to the helper's cached
                 # transfer functions (reference camb.py:675-774)
@@ -202,9 +224,16 @@ class CAMB(BoltzmannBase):
                 )
                 if self._transfers.needs_perts:
                     results.calc_power_spectra(pars)
+                    if sigma8_target is not None:
+                        pars = self._rescale_to_sigma8(
+                            pars, results, sigma8_target
+                        )
             else:
                 pars = self._set_params(params_values_dict)
                 results = self.camb.get_results(pars)
+                if sigma8_target is not None:
+                    pars = self._rescale_to_sigma8(pars, results,
+                                                   sigma8_target)
         except Exception as exc:
             if self.stop_at_error:
                 raise LoggedError(
@@ -333,6 +362,10 @@ class CAMB(BoltzmannBase):
                     "baryon") + results.get_Omega("nu")
             elif pt == "sigma8":
                 derived[p] = results.get_sigma8_0()
+            elif pt == "As":
+                derived[p] = float(results.Params.InitPower.As)
+            elif pt == "ns":
+                derived[p] = float(results.Params.InitPower.ns)
             else:
                 derived[p] = np.nan
         return derived

@@ -67,7 +67,8 @@ class FakeResults:
         return 0.1
 
     def get_sigma8_0(self):
-        return 0.8
+        # sigma8 scales as sqrt(As): lets the sigma8-input rescale be tested
+        return 0.8 * np.sqrt(self._power_pars.InitPower.As / 2e-9)
 
 
 class FakeCamb:
@@ -182,3 +183,50 @@ def test_transfer_helper_blocked_work_avoidance(camb_model):
     assert fake.counts["transfers"] > base
     lp2_full, _, _, _, _ = full_eval(x2)
     assert np.isclose(float(lp2), float(lp2_full), rtol=1e-5)
+
+
+def test_sigma8_as_input(monkeypatch):
+    """sigma8 may replace As as the power-amplitude input: As is rescaled
+    on the cached transfers so sigma8(0) hits the requested value
+    (reference camb.py:731-736 and test_cosmo_camb_sigma_8_input.py)."""
+    from cobaya_tpu.theories.camb.camb import CAMB
+
+    fake = FakeCamb()
+    monkeypatch.setattr(
+        CAMB, "get_camb_module", classmethod(lambda cls, *a, **k: fake)
+    )
+    info = {
+        "theory": {"camb": {"use_transfer_helper": True}},
+        "likelihood": {"cl_like": {"external": ClLike, "input_params": []}},
+        "params": {
+            "ombh2": {"prior": [0.02, 0.024], "ref": 0.022},
+            "sigma8": {"prior": [0.6, 1.0], "ref": 0.78},
+            "H0": 67.0,
+            "As": {"derived": True, "latex": "A_s"},
+        },
+    }
+    from cobaya_tpu.models.model import get_model
+
+    model = get_model(info)
+    host = model.theory["camb"]
+    assert "sigma8" in host.input_params
+    lp = model.logposterior({"ombh2": 0.022, "sigma8": 0.7})
+    As = lp.derived[model.derived_names.index("As")]
+    # fake: sigma8 = 0.8 * sqrt(As / 2e-9)  ->  As = 2e-9 (0.7/0.8)^2
+    assert np.isclose(As, 2e-9 * (0.7 / 0.8) ** 2, rtol=1e-6), As
+    # both As and sigma8 as input is rejected
+    import pytest as _pytest
+
+    from cobaya_tpu.utils.log import LoggedError
+
+    bad = {
+        "theory": {"camb": {}},
+        "likelihood": {"cl_like": {"external": ClLike, "input_params": []}},
+        "params": {
+            "ombh2": 0.022, "H0": 67.0,
+            "sigma8": {"prior": [0.6, 1.0]},
+            "As": {"prior": [1e-9, 3e-9]},
+        },
+    }
+    with _pytest.raises(LoggedError):
+        get_model(bad)
