@@ -260,7 +260,9 @@ class CovmatSampler(Sampler):
                 if proposals.get(p):
                     cov[i, i] = proposals[p] ** 2
                 elif np.isfinite(ref_vars[i]) and ref_vars[i] > 0:
-                    cov[i, i] = ref_vars[i]
+                    # conditional widths are typically much smaller than the
+                    # marginalized ref/prior ones (reference sampler.py:676)
+                    cov[i, i] = ref_vars[i] / self.fallback_covmat_scale
                 else:
                     width = prior_bounds[i, 1] - prior_bounds[i, 0]
                     if not np.isfinite(width) or width <= 0:

@@ -219,3 +219,55 @@ def test_cycled_proposal_directions():
     s = sampler.products(skip_samples=0.5)["sample"]
     assert np.allclose(s.mean(), [0.1, -0.1], atol=0.01)
     assert np.allclose(np.sqrt(np.diag(s.cov())), 0.04, atol=0.01)
+
+
+def test_initial_covmat_inheritance(tmp_path):
+    """Initial proposal covariance priority (reference
+    test_mcmc_initial_covmat.py): explicit covmat entries win; gaps fill
+    from 'proposal', then ref variance / fallback scale, then prior."""
+    import numpy as np
+
+    from cobaya_tpu.models.model import get_model
+    from cobaya_tpu.samplers.mcmc.mcmc import MCMC
+    from cobaya_tpu.samplers.sampler import CovmatSampler
+
+    rng = np.random.default_rng(2)
+    dim = 12
+    A = rng.normal(size=(dim, dim))
+    full_cov = A @ A.T / dim + np.eye(dim)
+    scale = CovmatSampler.fallback_covmat_scale
+    i_proposal, i_ref, i_prior = [0, 1, 2], [3, 4, 5], [6, 7]
+    i_covmat = [i for i in range(dim) if i not in
+                i_proposal + i_ref + i_prior]
+    params = {}
+    for i in range(dim):
+        p = f"a_{i}"
+        sigma = float(np.sqrt(full_cov[i, i]))
+        params[p] = {"prior": {"dist": "norm", "loc": 0, "scale": 1000}}
+        if i in i_proposal:
+            params[p]["proposal"] = sigma
+        elif i in i_ref:
+            params[p]["ref"] = {"dist": "norm", "loc": 0,
+                                "scale": sigma * np.sqrt(scale)}
+        elif i in i_prior:
+            params[p]["prior"]["scale"] = sigma * np.sqrt(scale)
+    sub = full_cov[np.ix_(i_covmat, i_covmat)]
+    sub_params = [f"a_{i}" for i in i_covmat]
+    # file-based partial covmat
+    covfile = tmp_path / "my.covmat"
+    np.savetxt(covfile, sub, header=" ".join(sub_params))
+    info = {"likelihood": {"one": None}, "params": params}
+    model = get_model(info)
+    sampler = MCMC({"covmat": str(covfile), "n_chains": 8,
+                    "max_samples": 1, "measure_speeds": False,
+                    "seed": 0}, model, output=None)
+    got = sampler._proposal.covmat
+    for i in range(dim):
+        assert np.isclose(got[i, i], full_cov[i, i], rtol=1e-6), i
+    assert np.allclose(got[np.ix_(i_covmat, i_covmat)], sub)
+    # matrix + covmat_params form
+    sampler2 = MCMC({"covmat": sub, "covmat_params": sub_params,
+                     "n_chains": 8, "max_samples": 1,
+                     "measure_speeds": False, "seed": 0}, model, output=None)
+    assert np.allclose(np.diag(sampler2._proposal.covmat), np.diag(got),
+                       rtol=1e-6)
