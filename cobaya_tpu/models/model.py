@@ -742,7 +742,8 @@ class Model(HasLogger):
                 prods, derived = self._component_jax_step(comp)(
                     params, products
                 )
-                products[comp.get_name()] = prods
+                # derived params are consumable as requirements downstream
+                products[comp.get_name()] = {**prods, **(derived or {})}
                 outputs.update(derived or {})
                 if isinstance(comp, LikelihoodInterface):
                     loglikes_list.append(jnp.asarray(prods["logp"]))
@@ -845,7 +846,7 @@ class Model(HasLogger):
                     prods, derived = steps[i](params, products)
                     new_cache[i] = (prods, derived)
                 prods, derived = new_cache[i]
-                products[comp.get_name()] = prods
+                products[comp.get_name()] = {**prods, **(derived or {})}
             outputs: dict[str, Any] = {}
             loglikes_list = []
             for i, comp in enumerate(comp_order):

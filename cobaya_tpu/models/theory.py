@@ -186,6 +186,10 @@ class Theory(CobayaComponent):
         state.update(products if isinstance(products, Mapping) else
                      {"products": products})
         state["derived"] = derived or {}
+        # flat view of derived params: consumers resolving this component's
+        # state as provider_products see the same keys as the traced path
+        for k, v in (derived or {}).items():
+            state.setdefault(k, v)
 
     def calculate_jax(
         self, params: Mapping[str, Any], want_derived: bool = True,

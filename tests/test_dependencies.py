@@ -221,3 +221,49 @@ def test_likelihood_helper_routed_to_theory_collection():
     assert "shifter" not in model.likelihood
     lp = model.logposterior([0.35])
     assert np.isclose(lp.loglikes[0], -0.5 * 0.1**2 / 0.01, atol=1e-5)
+
+
+def test_theory_derived_param_as_requirement():
+    """A theory's derived param (e.g. BBN YHe) consumed by a downstream
+    component, in the eager AND the traced path (reference
+    test_cosmo_multi_theory.py's BBN pattern)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cobaya_tpu.models.likelihood import Likelihood
+
+    class BBNish(Theory):
+        def get_requirements(self):
+            return {"ombh2": None}
+
+        def get_can_provide_params(self):
+            return ["YHe"]
+
+        def calculate_jax(self, params, want_derived=True,
+                          provider_products=None):
+            return {}, {"YHe": 0.24 + 10.0 * params["ombh2"]}
+
+    class YheLike(Likelihood):
+        def get_requirements(self):
+            return {"YHe": None}
+
+        def logp_jax(self, params, provider_products=None):
+            yhe = provider_products["BBNish"]["YHe"]
+            return -0.5 * ((yhe - 0.46) / 0.01) ** 2, {}
+
+    info = {
+        "theory": {"BBNish": {"external": BBNish}},
+        "likelihood": {"yhe_like": {"external": YheLike,
+                                    "input_params": []}},
+        "params": {"ombh2": {"prior": [0.01, 0.03]}},
+    }
+    model = get_model(info)
+    # eager
+    lp = model.logposterior([0.022])
+    expected = -0.5 * ((0.24 + 0.22 - 0.46) / 0.01) ** 2
+    assert np.isclose(lp.loglikes[0], expected, atol=1e-5)
+    # traced (vmapped)
+    fn = model.make_logposterior_fn()
+    _, _, loglikes, _ = jax.vmap(fn)(jnp.asarray([[0.022], [0.021]]))
+    assert np.isclose(float(loglikes[0, 0]), expected, atol=1e-4)
+    assert not np.isclose(float(loglikes[1, 0]), expected, atol=1e-4)
