@@ -111,6 +111,13 @@ class CAMB(BoltzmannBase):
     def get_can_support_params(self):
         # sigma8 may replace As as the power amplitude input: spectra are
         # computed with the default As and rescaled (reference camb.py:731)
+        if self.external_primordial_pk:
+            # P_k(k) comes from another theory: no initial-power params here
+            not_power = [p for p in self._all_supported_params
+                         if p not in _INITIAL_POWER_PARAMS or p == "Alens"]
+            if self._transfers is not None:
+                return ["Alens"]
+            return not_power
         if self._transfers is not None:
             # transfer/background params route to the helper
             return [p for p in self._all_supported_params
@@ -130,6 +137,10 @@ class CAMB(BoltzmannBase):
             "needs_perts": any(k in self._must_provide for k in perts),
             "non_linear": "Cl" in self._must_provide,
         }
+        if self.external_primordial_pk and out["CAMB_transfers"][
+            "needs_perts"
+        ]:
+            out["primordial_scalar_pk"] = None
         return out
 
     def initialize_with_params(self):
@@ -199,6 +210,21 @@ class CAMB(BoltzmannBase):
             pars.InitPower.set_params(**init_power)
         return pars
 
+    def _apply_external_primordial_pk(self, pars):
+        """Install the externally-provided primordial P(k) table on
+        InitPower (reference camb.py:679-698; scalar only)."""
+        ppk = self.provider.get_primordial_scalar_pk()
+        ip = pars.InitPower
+        if ppk.get("log_regular", True):
+            ip.set_scalar_log_regular(ppk["kmin"], ppk["kmax"], ppk["Pk"])
+        else:
+            ip.set_scalar_table(ppk["k"], ppk["Pk"])
+        if hasattr(ip, "effective_ns_for_nonlinear"):
+            ip.effective_ns_for_nonlinear = ppk.get(
+                "effective_ns_for_nonlinear", 0.97
+            )
+        return pars
+
     def _rescale_to_sigma8(self, pars, results, sigma8_target: float):
         """Rescale As so sigma8(0) hits the requested value, then
         recompute the power spectra (reference camb.py:731-736)."""
@@ -222,6 +248,9 @@ class CAMB(BoltzmannBase):
                     transfer_pars.copy() if hasattr(transfer_pars, "copy")
                     else transfer_pars, params_values_dict,
                 )
+                if self.external_primordial_pk \
+                        and self._transfers.needs_perts:
+                    pars = self._apply_external_primordial_pk(pars)
                 if self._transfers.needs_perts:
                     results.calc_power_spectra(pars)
                     if sigma8_target is not None:
@@ -230,6 +259,8 @@ class CAMB(BoltzmannBase):
                         )
             else:
                 pars = self._set_params(params_values_dict)
+                if self.external_primordial_pk:
+                    pars = self._apply_external_primordial_pk(pars)
                 results = self.camb.get_results(pars)
                 if sigma8_target is not None:
                     pars = self._rescale_to_sigma8(pars, results,
@@ -369,6 +400,9 @@ class CAMB(BoltzmannBase):
             else:
                 derived[p] = np.nan
         return derived
+
+    def get_CAMBdata(self):
+        return self.current_state.get("CAMBdata")
 
     def get_Cl(self, ell_factor: bool = False, units: str = "FIRASmuK2"):
         cl = dict(self.current_state["Cl"])

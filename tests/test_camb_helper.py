@@ -34,7 +34,7 @@ class FakePars:
         self.TCMB = 2.7255
 
     def copy(self):
-        new = FakePars(**self.kw)
+        new = type(self)(**self.kw)
         new.InitPower.__dict__.update(self.InitPower.__dict__)
         new.Alens = self.Alens
         return new
@@ -230,3 +230,81 @@ def test_sigma8_as_input(monkeypatch):
     }
     with _pytest.raises(LoggedError):
         get_model(bad)
+
+
+def test_external_primordial_pk(monkeypatch):
+    """external_primordial_pk: a separate theory provides the primordial
+    P(k) table, installed on InitPower before power spectra (reference
+    test_cosmo_multi_theory.py's ExamplePrimordialPk pattern)."""
+    from cobaya_tpu.models.theory import Theory
+    from cobaya_tpu.theories.camb.camb import CAMB
+
+    class FakeInitPowerTable(FakeInitPower):
+        def __init__(self):
+            super().__init__()
+            self.table = None
+
+        def set_scalar_log_regular(self, kmin, kmax, Pk):
+            self.table = (kmin, kmax, np.asarray(Pk))
+
+    class FakeParsTable(FakePars):
+        def __init__(self, **kw):
+            super().__init__(**kw)
+            self.InitPower = FakeInitPowerTable()
+
+    class FakeCambTable(FakeCamb):
+        def set_params(self, **kw):
+            return FakeParsTable(**kw)
+
+    class MyPk(Theory):
+        jittable = False
+
+        def get_can_support_params(self):
+            return ["testAs", "testns"]
+
+        def get_can_provide(self):
+            return ["primordial_scalar_pk"]
+
+        def calculate(self, state, want_derived=True, **params_values):
+            ks = np.logspace(-5, 1, 50)
+            state["primordial_scalar_pk"] = {
+                "kmin": ks[0], "kmax": ks[-1],
+                "Pk": params_values["testAs"]
+                * (ks / 0.05) ** (params_values["testns"] - 1),
+                "log_regular": True,
+            }
+            state["derived"] = {}
+
+        def get_primordial_scalar_pk(self):
+            return self.current_state["primordial_scalar_pk"]
+
+    fake = FakeCambTable()
+    monkeypatch.setattr(
+        CAMB, "get_camb_module", classmethod(lambda cls, *a, **k: fake)
+    )
+    info = {
+        "theory": {
+            "camb": {"external_primordial_pk": True,
+                     "use_transfer_helper": True},
+            "my_pk": {"external": MyPk},
+        },
+        "likelihood": {"cl_like": {"external": ClLike, "input_params": []}},
+        "params": {
+            "ombh2": {"prior": [0.02, 0.024], "ref": 0.022},
+            "testAs": {"prior": [1e-9, 3e-9], "ref": 1.8e-9},
+            "testns": {"prior": [0.8, 1.1], "ref": 0.9},
+            "H0": 67.0,
+        },
+    }
+    model = get_model(info)
+    host = model.theory["camb"]
+    assert host.external_primordial_pk
+    # the primordial-pk theory owns the power params, not camb
+    assert set(model.theory["my_pk"].input_params) == {"testAs", "testns"}
+    lp = model.logposterior({"ombh2": 0.022, "testAs": 1.8e-9,
+                             "testns": 0.9})
+    assert np.isfinite(lp.loglikes[0])
+    # the table was installed on InitPower with the declared amplitude
+    data = host.current_state["CAMBdata"]
+    kmin, kmax, Pk = data._power_pars.InitPower.table
+    assert np.isclose(Pk[0], 1.8e-9 * (1e-5 / 0.05) ** (0.9 - 1))
