@@ -173,11 +173,18 @@ class LikelihoodCollection(ComponentCollection):
         # (reference likelihood.py:335)
         self.theory = theory
         for name, info in (info_likelihood or {}).items():
+            if isinstance(info, Theory):
+                # a ready-made component instance (reference likelihood.py:275)
+                self.add_instance(name, info)
+                continue
             if callable(info) and not isinstance(info, type):
                 info = {"external": info}
             info = dict(info or {})
             if "external" in info:
                 external = info["external"]
+                if isinstance(external, Theory):
+                    self.add_instance(name, external)
+                    continue
                 if isinstance(external, str):
                     # string lambda from YAML input
                     from ..utils.tools import get_external_function

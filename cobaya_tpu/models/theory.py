@@ -318,7 +318,13 @@ class TheoryCollection(ComponentCollection):
         from .component import get_component_class
 
         for name, info in (info_theory or {}).items():
+            if isinstance(info, Theory):
+                self.add_instance(name, info)
+                continue
             info = dict(info or {})
+            if isinstance(info.get("external"), Theory):
+                self.add_instance(name, info["external"])
+                continue
             if isinstance(info.get("external"), type) or callable(
                 info.get("external")
             ):

@@ -306,11 +306,22 @@ def are_different_params_lists(
 
 
 def deepcopy_where_possible(d):
-    """Deep copy that falls back to reference-sharing for uncopyable leaves."""
+    """Deep copy that falls back to reference-sharing for uncopyable leaves.
+
+    Framework component instances, classes, and bound methods are kept by
+    reference (reference tools.py:925-930): copying them would break
+    instance identity for ready-made components passed in the input.
+    """
     if isinstance(d, Mapping):
         return {k: deepcopy_where_possible(v) for k, v in d.items()}
     if isinstance(d, (list, tuple)):
         return type(d)(deepcopy_where_possible(x) for x in d)
+    from .log import HasLogger
+
+    if isinstance(d, (HasLogger, type)):
+        return d
+    if callable(d) and hasattr(d, "__self__"):
+        return d  # bound method
     try:
         return deepcopy(d)
     except Exception:

@@ -164,3 +164,33 @@ def test_speeds_and_blocking():
     assert blocks2 == [["a"], ["b"]] and list(factors) == [1, 3]
     with pytest.raises(LoggedError):
         model.check_blocking([(1, ["a"])])  # missing param
+
+
+def test_component_instances_in_info():
+    """Ready-made component instances can be passed directly in the info
+    (reference likelihood.py:275 / theory.py:399)."""
+    import numpy as np
+
+    from cobaya_tpu.models.likelihood import Likelihood
+    from cobaya_tpu.models.model import get_model
+
+    class MyLike(Likelihood):
+        def logp_jax(self, params, provider_products=None):
+            return -0.5 * (params["x"] - 0.4) ** 2 / 0.01, {}
+
+    inst = MyLike({"input_params": ["x"]}, name="inst_like")
+    info = {
+        "likelihood": {"inst_like": inst},
+        "params": {"x": {"prior": [0, 1]}},
+    }
+    model = get_model(info)
+    assert model.likelihood["inst_like"] is inst
+    lp = model.logposterior([0.5])
+    assert np.isclose(lp.loglikes[0], -0.5, atol=1e-6)
+    # also accepted under the 'external' key
+    inst2 = MyLike({"input_params": ["x"]}, name="inst2")
+    info2 = {
+        "likelihood": {"inst2": {"external": inst2}},
+        "params": {"x": {"prior": [0, 1]}},
+    }
+    assert get_model(info2).likelihood["inst2"] is inst2
