@@ -114,6 +114,9 @@ def run_script(args=None):
     parser.add_argument("-f", "--force", action="store_true")
     parser.add_argument("--minimize", action="store_true", default=None)
     parser.add_argument("--test", action="store_true", default=None)
+    from . import __version__
+
+    parser.add_argument("--version", action="version", version=__version__)
     ns = parser.parse_args(args)
     run(
         ns.input_file, packages_path=ns.packages_path, output=ns.output,
