@@ -17,23 +17,16 @@ from __future__ import annotations
 import numpy as np
 
 
-def rminus1_of_moments_jax(counts, means, covs, weighted: bool = True):
+def rminus1_of_moments_jax(mean_of_covs, cov_of_means):
     """R-1 of chain means (jittable).
 
-    counts: (C,), means: (C, d), covs: (C, d, d).  Follows the reference
-    formula: normalize the covariance of the means by the mean of the
-    covariances through its Cholesky factor and take the largest eigenvalue.
+    Follows the reference formula: normalize the covariance of the means by
+    the mean of the (within-chain) covariances through its Cholesky factor
+    and take the largest eigenvalue.
     """
     import jax.numpy as jnp
     import jax.scipy.linalg as jsl
 
-    w = counts / jnp.sum(counts) if weighted else (
-        jnp.ones_like(counts) / counts.shape[0]
-    )
-    mean_of_covs = jnp.einsum("c,cij->ij", w, covs)
-    mean_of_means = jnp.einsum("c,ci->i", w, means)
-    dm = means - mean_of_means
-    cov_of_means = jnp.einsum("c,ci,cj->ij", w, dm, dm)
     # normalize: norm = diag(std); work with correlation-scaled matrices for
     # numerical stability (reference mcmc.py:856-908)
     std = jnp.sqrt(jnp.diagonal(mean_of_covs))

@@ -1,11 +1,21 @@
 """Streaming per-chain moment accumulators (anchored, f32-safe).
 
-The MCMC scan carries, for every walker, running first and second moments of
-the sampled vector.  To stay accurate in float32 on TPU (no native f64), the
-sums are *anchored*: we accumulate ``sum(x - anchor)`` and
-``sum((x - anchor)(x - anchor)^T)`` with the anchor taken near the walker's
-starting point, so the accumulated values stay O(n * sigma) instead of
-O(n * |x|) and catastrophic cancellation is avoided when recovering mean/cov.
+The MCMC scan carries running first moments per walker and ONE pooled
+second-moment matrix.  To stay accurate in float32 on TPU (no native f64),
+the sums are *anchored*: we accumulate ``sum(x - anchor)`` per walker and
+``sum_c sum_t outer(x_ct - anchor_c)`` pooled, with anchors near each
+walker's starting point, so accumulated values stay O(n * sigma) and
+catastrophic cancellation is avoided when recovering means/covariances.
+
+Key memory/bandwidth design point: the convergence statistics only ever
+need the *mean over walkers* of the within-walker covariances, and that is
+computable from the pooled second moment plus the per-walker first moments:
+
+    mean_of_covs = [S2_pool - (1/n) sum_c s1_c s1_c^T] / (C (n-1))
+
+so the carried state is O(C d + d^2) instead of O(C d^2) — at 16k walkers
+and d = 50 this removes ~160 MB of HBM read+write per record step.  The
+per-record update of ``s2`` is one (d, C) @ (C, d) matmul (MXU).
 
 Replaces the reference's pandas second-half mean/cov computations
 (/root/reference/cobaya/collection.py:893,936) with an on-device streaming
@@ -20,12 +30,16 @@ import jax.numpy as jnp
 
 
 class Moments(NamedTuple):
-    """Batched accumulator. Leading dims of every field = batch (chains)."""
+    """Accumulator over a batch of chains (leading dim C, possibly empty).
 
-    count: jnp.ndarray  # (...,)
-    anchor: jnp.ndarray  # (..., d)
-    s1: jnp.ndarray  # (..., d)      sum of (x - anchor)
-    s2: jnp.ndarray  # (..., d, d)   sum of outer(x - anchor)
+    ``count``/``anchor``/``s1`` are per-walker; ``s2`` is pooled over the
+    batch: ``sum_c sum_t w outer(x_ct - anchor_c)``.
+    """
+
+    count: jnp.ndarray  # (C,) or ()
+    anchor: jnp.ndarray  # (C, d) or (d,)
+    s1: jnp.ndarray  # (C, d) or (d,)    per-walker sum of (x - anchor)
+    s2: jnp.ndarray  # (d, d)            pooled sum of outer(x - anchor)
 
 
 def init(anchor) -> Moments:
@@ -36,40 +50,81 @@ def init(anchor) -> Moments:
         count=jnp.zeros(batch, anchor.dtype),
         anchor=anchor,
         s1=jnp.zeros(batch + (d,), anchor.dtype),
-        s2=jnp.zeros(batch + (d, d), anchor.dtype),
+        s2=jnp.zeros((d, d), anchor.dtype),
     )
 
 
 def update(m: Moments, x, weight=1.0) -> Moments:
     """Add one (batched) observation with the given weight."""
-    dx = x - m.anchor
+    dx = jnp.asarray(x) - m.anchor
     w = jnp.asarray(weight, dx.dtype)
-    if w.ndim == 0:
-        w1 = w2 = w
+    w1 = w[..., None] if w.ndim else w
+    d = dx.shape[-1]
+    flat = dx.reshape(-1, d)
+    wflat = (jnp.broadcast_to(w, dx.shape[:-1]).reshape(-1, 1)
+             if w.ndim or dx.ndim > 1 else w)
+    if dx.ndim > 1:
+        s2_inc = (wflat * flat).T @ flat
     else:
-        w1, w2 = w[..., None], w[..., None, None]
+        s2_inc = w * jnp.outer(dx, dx)
     return Moments(
         count=m.count + w,
         anchor=m.anchor,
         s1=m.s1 + w1 * dx,
-        s2=m.s2 + w2 * dx[..., :, None] * dx[..., None, :],
+        s2=m.s2 + s2_inc,
     )
 
 
 def mean(m: Moments) -> jnp.ndarray:
+    """Per-walker means."""
     return m.anchor + m.s1 / jnp.maximum(m.count, 1.0)[..., None]
 
 
+def mean_of_covs(m: Moments, ddof: int = 1) -> jnp.ndarray:
+    """Mean over walkers of the within-walker covariances (equal counts)."""
+    if m.count.ndim == 0:
+        return cov(m, ddof=ddof)
+    n = jnp.maximum(jnp.mean(m.count), 1.0)
+    C = m.count.shape[0]
+    cross = m.s1.T @ m.s1  # sum_c s1_c s1_c^T
+    denom = jnp.maximum(n - ddof, 1.0) * C
+    return (m.s2 - cross / n) / denom
+
+
+def cov_of_means(m: Moments, weighted: bool = True) -> jnp.ndarray:
+    """Covariance over walkers of the per-walker means."""
+    counts = m.count
+    w = counts / jnp.sum(counts) if weighted else (
+        jnp.ones_like(counts) / counts.shape[0]
+    )
+    means = mean(m)
+    mu = jnp.einsum("c,ci->i", w, means)
+    dm = means - mu
+    return jnp.einsum("c,ci,cj->ij", w, dm, dm)
+
+
 def cov(m: Moments, ddof: int = 1) -> jnp.ndarray:
-    n = jnp.maximum(m.count, 1.0)
-    mu = m.s1 / n[..., None]  # mean - anchor
-    raw = m.s2 / n[..., None, None] - mu[..., :, None] * mu[..., None, :]
+    """Pooled covariance — only meaningful for an UNBATCHED accumulator
+    (e.g. after :func:`reduce_chains`)."""
+    n = jnp.maximum(
+        m.count if m.count.ndim == 0 else jnp.sum(m.count), 1.0
+    )
+    if m.count.ndim == 0:
+        mu = m.s1 / n
+        raw = m.s2 / n - jnp.outer(mu, mu)
+    else:
+        # pooled over all samples of all walkers around the common anchor:
+        # requires a common anchor — reduce_chains() provides one
+        raise ValueError(
+            "cov() of a batched accumulator is ambiguous; use "
+            "mean_of_covs()/cov_of_means(), or reduce_chains() first."
+        )
     corr = n / jnp.maximum(n - ddof, 1.0)
-    return raw * corr[..., None, None]
+    return raw * corr
 
 
 def merge(a: Moments, b: Moments) -> Moments:
-    """Combine two accumulators with the same anchor."""
+    """Combine two accumulators with the same anchors."""
     return Moments(
         count=a.count + b.count,
         anchor=a.anchor,
@@ -79,22 +134,27 @@ def merge(a: Moments, b: Moments) -> Moments:
 
 
 def reanchor(m: Moments, new_anchor) -> Moments:
-    """Express the accumulated sums relative to a different anchor."""
+    """Express the accumulated sums relative to different anchors."""
     new_anchor = jnp.broadcast_to(jnp.asarray(new_anchor, m.anchor.dtype),
                                   m.anchor.shape)
-    shift = m.anchor - new_anchor
-    s1 = m.s1 + m.count[..., None] * shift
-    s2 = (
-        m.s2
-        + m.s1[..., :, None] * shift[..., None, :]
-        + shift[..., :, None] * m.s1[..., None, :]
-        + m.count[..., None, None] * shift[..., :, None] * shift[..., None, :]
-    )
+    shift = m.anchor - new_anchor  # (C, d) or (d,)
+    s1 = m.s1 + m.count[..., None] * shift if m.count.ndim else \
+        m.s1 + m.count * shift
+    if m.anchor.ndim > 1:
+        cross = m.s1.T @ shift  # sum_c s1_c shift_c^T
+        sq = (m.count[:, None] * shift).T @ shift
+        s2 = m.s2 + cross + cross.T + sq
+    else:
+        s2 = (
+            m.s2
+            + jnp.outer(m.s1, shift) + jnp.outer(shift, m.s1)
+            + m.count * jnp.outer(shift, shift)
+        )
     return Moments(count=m.count, anchor=new_anchor, s1=s1, s2=s2)
 
 
 def reduce_chains(m: Moments, anchor=None) -> Moments:
-    """Merge the chain axis (axis 0) into a single accumulator.
+    """Merge the chain axis (axis 0) into a single pooled accumulator.
 
     ``anchor``: common anchor for the result (default: zeros — safe for
     cross-device psum where each shard re-anchors independently).
@@ -106,5 +166,5 @@ def reduce_chains(m: Moments, anchor=None) -> Moments:
         count=re.count.sum(0),
         anchor=re.anchor[0],
         s1=re.s1.sum(0),
-        s2=re.s2.sum(0),
+        s2=re.s2,
     )

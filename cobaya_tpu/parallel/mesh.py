@@ -49,12 +49,29 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_batch_pytree(tree, mesh):
-    """Place every leaf with its leading axis sharded over the mesh."""
+def shard_batch_pytree(tree, mesh, batch_size: Optional[int] = None):
+    """Place leaves with a leading chains axis sharded over the mesh.
+
+    Leaves WITHOUT the batch leading dim (e.g. the pooled (d, d) second
+    moment, PRNG key leaves of odd shape) are replicated: inside shard_map
+    each device accumulates its local walkers' contribution and the pooled
+    values combine with one psum (see ops.moments).
+    """
     import jax
 
     sharding = chain_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    repl = replicated(mesh)
+    if batch_size is None:
+        sizes = [x.shape[0] for x in jax.tree.leaves(tree)
+                 if getattr(x, "ndim", 0) >= 1]
+        batch_size = max(sizes, key=sizes.count) if sizes else None
+
+    def place(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] == batch_size:
+            return jax.device_put(x, sharding)
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(place, tree)
 
 
 def round_up_chains(n_chains: int, n_devices: int) -> int:
@@ -63,11 +80,13 @@ def round_up_chains(n_chains: int, n_devices: int) -> int:
 
 
 def psum_moments(moments, axis_name: str = CHAIN_AXIS):
-    """Cross-device reduction of a chain-reduced Moments accumulator.
-
-    To be used inside shard_map after ops.moments.reduce_chains: one psum
-    over ICI replaces the reference's MPI allgather of means/covs
-    (mpi.py:178-191).
+    """Cross-device reduction of a chain-reduced Moments accumulator, for
+    shard_map pipelines where each shard accumulated ONLY its local
+    walkers (count/s1 AND the pooled s2 all shard-local): one psum over
+    ICI replaces the reference's MPI allgather of means/covs
+    (mpi.py:178-191).  Under jit auto-sharding (the samplers' mode) the
+    pooled s2 is already globally consistent — reduce with
+    ``jax.jit(ops.moments.reduce_chains)`` instead.
     """
     import jax
 

@@ -170,15 +170,9 @@ class MCMC(CovmatSampler):
         from ...ops.convergence import rminus1_of_moments_jax
 
         def window_stats(mom: mom_ops.Moments):
-            counts = mom.count
-            means = mom_ops.mean(mom)
-            covs = mom_ops.cov(mom)
-            w = counts / jnp.sum(counts)
-            mean_of_covs = jnp.einsum("c,cij->ij", w, covs)
-            mean_of_means = jnp.einsum("c,ci->i", w, means)
-            dm = means - mean_of_means
-            cov_of_means = jnp.einsum("c,ci,cj->ij", w, dm, dm)
-            return (rminus1_of_moments_jax(counts, means, covs),
+            mean_of_covs = mom_ops.mean_of_covs(mom)
+            cov_of_means = mom_ops.cov_of_means(mom)
+            return (rminus1_of_moments_jax(mean_of_covs, cov_of_means),
                     mean_of_covs, cov_of_means)
 
         def epoch_stats(carry):

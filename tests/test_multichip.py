@@ -42,11 +42,14 @@ def test_graft_dryrun_multichip():
 
 
 def test_moments_psum_reduction_matches_host():
-    """shard_map + psum of chain-reduced moments == host-side reduction."""
+    """Cross-device reduction of sharded moments == host-side reduction.
+
+    The per-walker sums (count/anchor/s1) shard over the mesh; the pooled
+    (d, d) second moment is replicated (XLA keeps it globally consistent
+    through the sharded updates).  Reduction runs under jit, which inserts
+    the collectives for the sharded sums."""
     import jax
     import jax.numpy as jnp
-    from functools import partial
-    from jax.sharding import PartitionSpec as P
 
     from cobaya_tpu.ops import moments as mom_ops
     from cobaya_tpu.parallel.mesh import make_mesh, shard_batch_pytree
@@ -55,17 +58,13 @@ def test_moments_psum_reduction_matches_host():
     C, d = 16, 3
     rng = np.random.default_rng(0)
     xs = rng.normal(size=(C, 40, d)).astype(np.float32)
-    m = mom_ops.init(jnp.asarray(xs[:, 0]))
+    # build the accumulator under jit WITH sharded walker state, as the
+    # sampler does: s2 updates then include the cross-shard reduction
+    m = mom_ops.init(shard_batch_pytree(jnp.asarray(xs[:, 0]), mesh))
+    update = jax.jit(mom_ops.update)
     for t in range(40):
-        m = mom_ops.update(m, jnp.asarray(xs[:, t]))
-    m_sharded = shard_batch_pytree(m, mesh)
-
-    @partial(jax.shard_map, mesh=mesh, in_specs=P("chains"), out_specs=P())
-    def global_reduce(mm):
-        local = mom_ops.reduce_chains(mm)
-        return jax.tree.map(lambda v: jax.lax.psum(v, "chains"), local)
-
-    total = global_reduce(m_sharded)
+        m = update(m, jnp.asarray(xs[:, t]))
+    total = jax.jit(mom_ops.reduce_chains)(m)
     host_total = mom_ops.reduce_chains(m)
     assert np.isclose(float(total.count), float(host_total.count))
     assert np.allclose(np.asarray(mom_ops.mean(total)),
