@@ -19,6 +19,7 @@ with batched ``jax.pure_callback``.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from collections.abc import Mapping, Sequence
 from typing import Any, Callable
@@ -898,6 +899,31 @@ class Model(HasLogger):
 
         return full_eval, block_eval
 
+    def _callback_pool_size(self, comp: Theory) -> int:
+        """Worker count for comp's host bridge (0/1 = serial)."""
+        pool = getattr(comp, "callback_pool", None)
+        if pool is None:
+            pool = os.environ.get("COBAYA_TPU_CALLBACK_POOL") or 0
+        try:
+            return max(int(pool), 0)
+        except (TypeError, ValueError):
+            return 0
+
+    def _callback_executor(self, pool: int):
+        """Shared, lazily-grown thread pool for all host-bridge callbacks."""
+        import concurrent.futures
+
+        ex = getattr(self, "_cb_executor", None)
+        if ex is None or self._cb_executor_size < pool:
+            if ex is not None:
+                ex.shutdown(wait=False)
+            ex = concurrent.futures.ThreadPoolExecutor(
+                max_workers=pool, thread_name_prefix="cobaya-cb"
+            )
+            self._cb_executor = ex
+            self._cb_executor_size = pool
+        return ex
+
     def _component_jax_step(self, comp: Theory) -> Callable:
         """Traced step for one component: (params, products_so_far) -> (prods, derived)."""
         import jax
@@ -961,38 +987,62 @@ class Model(HasLogger):
             tokens = [t.reshape(-1) for t in tokens]
             results = {k: np.empty((n,) + spec[k].shape,
                                    dtype=spec[k].dtype) for k in out_names}
-            try:
-                for i in range(n):
-                    for prov, tok in zip(up_host, tokens):
-                        prov._callback_view = prov._resolve_state_object(
-                            int(tok[i if tok.size > 1 else 0])
-                        )
-                    for prov_name, view in jit_leaf_views:
-                        by_name[prov_name]._callback_view = {
-                            k: row(v, i) for k, v in view.items()
+
+            def eval_rows(lo: int, hi: int):
+                # runs in (possibly) a worker thread: provider views are
+                # thread-local, result rows are disjoint, the token store
+                # is lock-protected — safe to fan out
+                try:
+                    for i in range(lo, hi):
+                        for prov, tok in zip(up_host, tokens):
+                            prov._callback_view = prov._resolve_state_object(
+                                int(tok[i if tok.size > 1 else 0])
+                            )
+                        for prov_name, view in jit_leaf_views:
+                            by_name[prov_name]._callback_view = {
+                                k: row(v, i) for k, v in view.items()
+                            }
+                        params = {
+                            p: float(v[i if v.size > 1 else 0])
+                            for p, v in zip(param_names, flat)
                         }
-                    params = {
-                        p: float(v[i if v.size > 1 else 0])
-                        for p, v in zip(param_names, flat)
-                    }
-                    if is_like:
-                        derived: dict = {}
-                        logp = comp.logp(_derived=derived, **params)
-                        values = {"logp": logp, **derived}
-                    else:
-                        state: dict = {"derived": {}}
-                        comp.calculate(state, True, **params)
-                        values = {**state, **(state.get("derived") or {})}
-                        values["__token__"] = comp._store_state_object(
-                            state, batch_size=n
-                        )
-                    for k in out_names:
-                        results[k][i] = values.get(k, np.nan)
-            finally:
-                for prov in up_host:
-                    prov._callback_view = None
-                for prov_name, _ in jit_leaf_views:
-                    by_name[prov_name]._callback_view = None
+                        if is_like:
+                            derived: dict = {}
+                            logp = comp.logp(_derived=derived, **params)
+                            values = {"logp": logp, **derived}
+                        else:
+                            state: dict = {"derived": {}}
+                            comp.calculate(state, True, **params)
+                            values = {**state,
+                                      **(state.get("derived") or {})}
+                            values["__token__"] = comp._store_state_object(
+                                state, batch_size=n
+                            )
+                        for k in out_names:
+                            results[k][i] = values.get(k, np.nan)
+                finally:
+                    for prov in up_host:
+                        prov._callback_view = None
+                    for prov_name, _ in jit_leaf_views:
+                        by_name[prov_name]._callback_view = None
+
+            pool = self._callback_pool_size(comp)
+            if pool > 1 and n > 1:
+                # amortize slow host evaluations across workers (the
+                # reference's one-CAMB-per-MPI-rank, as threads: compiled
+                # theory cores release the GIL)
+                executor = self._callback_executor(pool)
+                chunk = -(-n // min(pool, n))
+                futures = [
+                    executor.submit(eval_rows, lo, min(lo + chunk, n))
+                    for lo in range(0, n, chunk)
+                ]
+                errs = [f.exception() for f in futures]
+                for e in errs:
+                    if e is not None:
+                        raise e
+            else:
+                eval_rows(0, n)
             if comp.timer:
                 comp.timer.increment()
             return tuple(

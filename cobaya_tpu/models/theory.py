@@ -16,6 +16,7 @@ batched ``jax.pure_callback`` (the "slow block" of the speed hierarchy).
 
 from __future__ import annotations
 
+import threading
 from collections import deque
 from collections.abc import Mapping, Sequence
 from typing import Any, Optional
@@ -55,6 +56,13 @@ class Theory(CobayaComponent):
 
     # TPU compute contract
     jittable: bool = True
+    # host-bridge worker threads for non-jittable components: the batched
+    # pure_callback fans the walker batch out over this many threads (theory
+    # codes like CAMB release the GIL in their compiled cores, so threads
+    # amortize slow evaluations the way the reference amortizes them across
+    # MPI ranks, cf. /root/reference/cobaya/theories/camb/camb.py:675).
+    # 0/None = serial; overridable via COBAYA_TPU_CALLBACK_POOL.
+    callback_pool: Optional[int] = None
 
     _at_resume_prefer_new = ["speed", "stop_at_error", "version"]
 
@@ -74,7 +82,10 @@ class Theory(CobayaComponent):
         self._object_store: dict[int, dict] = {}
         self._object_counter: int = 0
         self._object_last_batch: int = 0
-        self._callback_view: dict | None = None
+        self._object_lock = threading.Lock()
+        # per-thread so pooled host-bridge workers can hold different
+        # walkers' provider views concurrently
+        self._callback_local = threading.local()
         super().__init__(info=info, name=name, timing=timing,
                          packages_path=packages_path, initialize=initialize,
                          standalone=standalone)
@@ -235,6 +246,14 @@ class Theory(CobayaComponent):
         self._states.appendleft(state)
         return state
 
+    @property
+    def _callback_view(self) -> dict | None:
+        return getattr(self._callback_local, "view", None)
+
+    @_callback_view.setter
+    def _callback_view(self, value: dict | None):
+        self._callback_local.view = value
+
     def get_current_derived(self) -> dict:
         if self._states:
             return self._states[0].get("derived") or {}
@@ -259,13 +278,14 @@ class Theory(CobayaComponent):
         """
         # wrap below int32 max: only the ~4x-batch most recent tokens are
         # ever live, so wraparound collisions cannot occur
-        self._object_counter = (self._object_counter + 1) % 2147483647
-        token = self._object_counter
-        self._object_store[token] = state
-        self._object_last_batch = max(self._object_last_batch, batch_size)
-        max_keep = max(1024, 4 * self._object_last_batch)
-        while len(self._object_store) > max_keep:
-            self._object_store.pop(next(iter(self._object_store)))
+        with self._object_lock:
+            self._object_counter = (self._object_counter + 1) % 2147483647
+            token = self._object_counter
+            self._object_store[token] = state
+            self._object_last_batch = max(self._object_last_batch, batch_size)
+            max_keep = max(1024, 4 * self._object_last_batch)
+            while len(self._object_store) > max_keep:
+                self._object_store.pop(next(iter(self._object_store)))
         return token
 
     def _resolve_state_object(self, token: int) -> dict:

@@ -9,10 +9,12 @@ point, extracts derived parameters, and provides the installer hooks.
 TPU-native role: CAMB runs on the HOST as the slow block.  The component is
 ``jittable = False``, so the vmapped sampler routes it through the batched
 ``pure_callback`` bridge: every step delivers the whole walker batch's
-parameter sets in one host call, which this wrapper evaluates (optionally in
-a process pool) while the device keeps integrating fast blocks — dragging
-and oversampling amortize these calls exactly as the reference does across
-MPI ranks.
+parameter sets in one host call, which the bridge fans out over a thread
+pool (set ``callback_pool: N`` in the theory info, or
+``COBAYA_TPU_CALLBACK_POOL``; CAMB's Fortran core releases the GIL so
+threads scale) — amortizing slow evaluations the way the reference does
+across MPI ranks.  Dragging and oversampling reuse the cached transfers via
+the helper theory, so fast blocks never re-enter the host.
 """
 
 from __future__ import annotations
