@@ -29,7 +29,10 @@ _GAUSSIAN_OBS = ("DV_over_rs", "rs_over_DV", "DA_over_rs", "DM_over_rs",
 
 class BAO(InstallableLikelihood):
     type = "BAO"
-    jittable = False
+    # All observable math and tabulated-likelihood lookups are traced
+    # (logp_jax): Gaussian quadratic forms, chi2(alpha) spline tables and
+    # 1/2/3-D likelihood grids evaluate on device inside the jitted epoch.
+    jittable = True
 
     install_options = {
         "github_repository": "CobayaSampler/bao_data",
@@ -138,6 +141,9 @@ class BAO(InstallableLikelihood):
         self._prob_logpdf = lambda x: (
             float(spline(x)) if lo <= x <= hi else -np.inf
         )
+        from ...ops.interp import TracedSpline1D
+
+        self._prob_logpdf_jax = TracedSpline1D(alpha, -chi2 / 2)
 
     def _init_grid(self):
         """1/2/3-D tabulated likelihood grids (reference bao.py:205)."""
@@ -156,11 +162,20 @@ class BAO(InstallableLikelihood):
             )
         self.quantities = [o for o in obs[:self._grid_dims]]
         self.z = np.full(self._grid_dims, float(self.redshift))
+        from ...ops.interp import (
+            TracedLinearGridInterp,
+            TracedSpline1D,
+            densify_spline_2d,
+        )
+
         if self._grid_dims == 1:
             from scipy.interpolate import UnivariateSpline
 
             self._grid_interp = UnivariateSpline(
                 grid[:, 0], np.log(grid[:, 1]), s=0, ext=2,
+            )
+            self._grid_interp_jax = TracedSpline1D(
+                grid[:, 0], np.log(grid[:, 1])
             )
         elif self._grid_dims == 2:
             from scipy.interpolate import RectBivariateSpline
@@ -169,6 +184,10 @@ class BAO(InstallableLikelihood):
             y = np.unique(grid[:, 1])
             logp = np.log(grid[:, 2]).reshape(len(x), len(y))
             self._grid_interp = RectBivariateSpline(x, y, logp, kx=3, ky=3)
+            xs, ys, table = densify_spline_2d(self._grid_interp, x, y)
+            self._grid_interp_jax = TracedLinearGridInterp(
+                (xs, ys), table
+            )
         elif self._grid_dims == 3:
             from scipy.interpolate import RegularGridInterpolator
 
@@ -181,6 +200,9 @@ class BAO(InstallableLikelihood):
             self._grid_interp = RegularGridInterpolator(
                 (x, y, zz), logp, bounds_error=False,
                 fill_value=np.log(1e-300),
+            )
+            self._grid_interp_jax = TracedLinearGridInterp(
+                (x, y, zz), logp, fill_value=np.log(1e-300)
             )
         else:
             raise LoggedError(self.log, "Grid data has wrong dimensions.")
@@ -248,6 +270,74 @@ class BAO(InstallableLikelihood):
             self.log, "Unknown BAO quantity '%s'. Implemented: %s",
             quantity, _GAUSSIAN_OBS,
         )
+
+    # ---- traced (device) path --------------------------------------------------
+    def _theory_values_jax(self, provider_products, quantities, zs):
+        """Traced observable vector (mirrors :meth:`theory_value`)."""
+        import jax.numpy as jnp
+
+        from ...theories.cosmo.traced import TracedCosmoProducts
+
+        pp = TracedCosmoProducts(self, provider_products)
+        c = Const.c_km_s
+        quantities = list(quantities)
+        need_rs = any(q in ("DV_over_rs", "rs_over_DV", "DA_over_rs",
+                            "DM_over_rs", "Hz_rs", "DH_over_rs")
+                      for q in quantities)
+        rs = pp.get_param("rdrag") * self.rs_rescale if need_rs else None
+        out = []
+        for q, z in zip(quantities, np.atleast_1d(zs)):
+            z = float(z)
+            if q in ("f_sigma8", "fsigma8"):
+                out.append(pp.get_fsigma8(z)[0])
+                continue
+            if q == "Hz_rs":
+                out.append(pp.get_Hubble(z)[0] * rs)
+                continue
+            DA = pp.get_angular_diameter_distance(z)[0] \
+                if q in ("DV_over_rs", "rs_over_DV", "DA_over_rs",
+                         "DM_over_rs", "F_AP") else None
+            Hz = pp.get_Hubble(z)[0] \
+                if q in ("DV_over_rs", "rs_over_DV", "Hz_rs", "DH_over_rs",
+                         "F_AP") else None
+            if q == "DA_over_rs":
+                out.append(DA / rs)
+            elif q == "DM_over_rs":
+                out.append(DA * (1 + z) / rs)
+            elif q == "DH_over_rs":
+                out.append(c / Hz / rs)
+            elif q in ("DV_over_rs", "rs_over_DV"):
+                DM = DA * (1 + z)
+                DV = (DM ** 2 * z * c / Hz) ** (1 / 3)
+                out.append(DV / rs if q == "DV_over_rs" else rs / DV)
+            elif q == "F_AP":
+                out.append(DA * (1 + z) * Hz / c)
+            else:
+                raise LoggedError(
+                    self.log, "Unknown BAO quantity '%s'. Implemented: %s",
+                    q, _GAUSSIAN_OBS,
+                )
+        return jnp.stack(out)
+
+    def logp_jax(self, params, provider_products=None):
+        import jax.numpy as jnp
+
+        if self._grid_dims:
+            vals = self._theory_values_jax(
+                provider_products, self.quantities, self.z
+            )
+            if self._grid_dims == 1:
+                return self._grid_interp_jax(vals[0]), {}
+            return self._grid_interp_jax(*[
+                vals[i] for i in range(self._grid_dims)
+            ]), {}
+        theory = self._theory_values_jax(
+            provider_products, self.quantities, self.z
+        )
+        if self._prob_logpdf is not None:
+            return self._prob_logpdf_jax(theory[0]), {}
+        delta = theory - jnp.asarray(self.data_values)
+        return -0.5 * delta @ jnp.asarray(self.invcov) @ delta, {}
 
     def logp(self, _derived=None, **params_values):
         if self._grid_dims:

@@ -47,7 +47,9 @@ def range_to_ells(spec) -> np.ndarray:
 
 class CamSpec(DataSetLikelihood):
     type = "CMB"
-    jittable = False
+    # foreground model + covariance form are traced (logp_jax): nuisance
+    # moves run entirely on device against cached theory Cls
+    jittable = True
 
     install_options = {
         "github_repository": "CobayaSampler/planck_native_data",
@@ -236,6 +238,92 @@ class CamSpec(DataSetLikelihood):
         return -0.5 * self.chi_squared(
             cls.get("tt"), cls.get("te"), cls.get("ee"), params_values
         )
+
+    # ---- traced (device) path --------------------------------------------------
+    def _get_foregrounds_jax(self, p):
+        """Traced mirror of :meth:`get_foregrounds`: (4, lmax+1) D_l."""
+        import jax.numpy as jnp
+
+        aps = jnp.stack([
+            jnp.asarray(p["aps100"]), jnp.asarray(p["aps143"]),
+            jnp.asarray(p["aps217"]),
+            p["psr"] * jnp.sqrt(p["aps143"] * p["aps217"]),
+        ]) * 1e-6 / 9
+        adust = jnp.stack([
+            jnp.asarray(p["dust100"]), jnp.asarray(p["dust143"]),
+            jnp.asarray(p["dust217"]), jnp.asarray(p["dust143x217"]),
+        ])
+        acib217 = jnp.asarray(p["acib217"])
+        acib143_derived = 0.094 * acib217 / _CIB_BP_143 * _CIB_BP_217
+        if "acib143" in p:
+            acib143 = jnp.where(
+                jnp.asarray(p["acib143"]) < 0, acib143_derived,
+                jnp.asarray(p["acib143"]),
+            )
+        else:
+            acib143 = acib143_derived
+        lnrat = jnp.asarray(self.lnrat)
+        cl_cib = jnp.exp(
+            p["ncib"] * lnrat + p["cibrun"] * lnrat ** 2 / 2
+        ) * jnp.asarray(self.cib_217)
+        ksz = p["aksz"] * jnp.asarray(self.ksz)
+        a_sz143 = p["asz143"] * _SZ_BP_143
+        a_cib143 = acib143 * _CIB_BP_143
+        a_cib217 = acib217 * _CIB_BP_217
+        xi = jnp.asarray(p["xi"])
+        sz_143 = jnp.asarray(self.sz_143)
+        tszxcib = jnp.asarray(self.tszxcib)
+        fg = jnp.stack([
+            ksz + p["asz143"] * _SZ_BP_100 * sz_143,
+            (a_cib143 * cl_cib + ksz + a_sz143 * sz_143
+             - 2 * jnp.sqrt(a_cib143 * a_sz143) * xi * tszxcib),
+            a_cib217 * cl_cib + ksz,
+            (p["cibr"] * jnp.sqrt(a_cib143 * a_cib217) * cl_cib + ksz
+             - jnp.sqrt(a_cib217 * a_sz143) * xi * tszxcib),
+        ])
+        fg = fg + adust[:, None] * jnp.asarray(self.dust) \
+            + aps[:, None] * jnp.asarray(self.llp1)[None, :]
+        return fg
+
+    def _get_cals_jax(self, p):
+        import jax.numpy as jnp
+
+        cal_planck = jnp.asarray(p.get("A_planck", 1.0)) ** 2
+        cal0 = jnp.asarray(p.get("cal0", 1.0))
+        cal2 = jnp.asarray(p.get("cal2", 1.0))
+        return jnp.stack([
+            cal0, jnp.asarray(1.0), cal2, jnp.sqrt(cal2),
+            jnp.asarray(p.get("calTE", 1.0)),
+            jnp.asarray(p.get("calEE", 1.0)),
+        ]) * cal_planck
+
+    def logp_jax(self, params, provider_products=None):
+        import jax.numpy as jnp
+
+        from ...theories.cosmo.traced import TracedCosmoProducts
+
+        cls = TracedCosmoProducts(self, provider_products).get_Cl(
+            ell_factor=True
+        )
+        cals = self._get_cals_jax(params)
+        fg = self._get_foregrounds_jax(params) if self._tt_used else None
+        segments = []
+        ix = 0
+        for i, n in enumerate(self.used_sizes):
+            if n == 0:
+                continue
+            ells = np.asarray(self.ell_ranges[i])
+            data_seg = jnp.asarray(self.data_vector[ix:ix + n])
+            if i <= 3:
+                model = (jnp.asarray(cls["tt"])[ells] + fg[i][ells]) / cals[i]
+            elif i == 4:
+                model = jnp.asarray(cls["te"])[ells] / cals[i]
+            else:
+                model = jnp.asarray(cls["ee"])[ells] / cals[i]
+            segments.append(data_seg - model)
+            ix += n
+        delta = jnp.concatenate(segments)
+        return -0.5 * delta @ jnp.asarray(self.covinv) @ delta, {}
 
 
 # name used by the reference

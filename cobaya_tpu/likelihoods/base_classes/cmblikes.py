@@ -28,7 +28,9 @@ from .dataset import DataSetLikelihood, IniFile
 
 class CMBlikes(DataSetLikelihood):
     type = "CMB"
-    jittable = False  # needs theory Cl products from a host-callback code
+    # bandpower projection + covariance form run on device (logp_jax);
+    # theory Cls arrive as traced arrays via the provider's callback export
+    jittable = True
 
     map_names: Optional[list] = None
     calibration_param: Optional[str] = None
@@ -160,3 +162,46 @@ class CMBlikes(DataSetLikelihood):
     def logp(self, _derived=None, **params_values):
         cl = self.provider.get_Cl(ell_factor=True, units="muK2")
         return self.log_likelihood(cl, **params_values)
+
+    def logp_jax(self, params, provider_products=None):
+        """Traced bandpower likelihood (Gaussian / scalar-HL / exact)."""
+        import jax.numpy as jnp
+
+        from ...theories.cosmo.traced import TracedCosmoProducts
+
+        cls = TracedCosmoProducts(self, provider_products).get_Cl(
+            ell_factor=True, units="muK2"
+        )
+        theory = jnp.stack([
+            jnp.asarray(self.windows) @ jnp.asarray(cls[name])[
+                : self.lmax + 1
+            ]
+            for name in self.use_cl
+        ], axis=1)  # (nbins, n_cl)
+        if self.calibration_param:
+            cal = jnp.asarray(params.get(self.calibration_param, 1.0))
+            theory = theory / cal ** 2
+        if self.cl_noise is not None:
+            theory = theory + jnp.asarray(self.cl_noise)
+        data = jnp.asarray(self.bandpowers)
+        invcov = jnp.asarray(self.invcov)
+        if self.like_approx == "exact":
+            L_eff = (self.lmin_bins + self.lmax_bins) / 2
+            rat = data / theory
+            chisq = ((2 * L_eff[:, None] + 1) * self.fsky
+                     * (rat - 1 - jnp.log(jnp.maximum(rat, 1e-30)))).sum()
+            return -0.5 * chisq, {}
+        if self.like_approx == "HL":
+            fid = self.cl_fiducial + (
+                self.cl_noise if self.cl_noise is not None else 0
+            )
+            rat = data / theory
+            g = jnp.sign(rat - 1) * jnp.sqrt(
+                2 * jnp.maximum(
+                    0, rat - jnp.log(jnp.maximum(rat, 1e-30)) - 1
+                )
+            )
+            x = (g * jnp.asarray(fid)).reshape(-1)
+            return -0.5 * x @ invcov @ x, {}
+        delta = (theory - data).reshape(-1)
+        return -0.5 * delta @ invcov @ delta, {}

@@ -39,7 +39,9 @@ def _read_matrix_rows(filename: str, nbins: int, nmaps: int) -> np.ndarray:
 
 class CMBlikesMatrix(DataSetLikelihood):
     type = "CMB"
-    jittable = False
+    # matrix HL / Wishart / Gaussian forms are traced (logp_jax): batched
+    # per-bin eigendecompositions run on device inside the jitted epoch
+    jittable = True
 
     map_names: Optional[list] = None
     field: str = "bb"  # theory spectrum all maps share by default
@@ -157,6 +159,62 @@ class CMBlikesMatrix(DataSetLikelihood):
     def logp(self, _derived=None, **params_values):
         cls = self.provider.get_Cl(ell_factor=True, units="muK2")
         return self.log_likelihood(cls, **params_values)
+
+    # ---- traced (device) path --------------------------------------------------
+    def theory_cl_matrices_jax(self, cls_dict, params):
+        """Traced per-ell theory matrices; override with foregrounds."""
+        import jax.numpy as jnp
+
+        cl = jnp.asarray(cls_dict[self.field])[: self.lmax + 1]
+        return cl[:, None, None] * jnp.ones((1, self.nmaps, self.nmaps))
+
+    def logp_jax(self, params, provider_products=None):
+        import jax.numpy as jnp
+
+        from ...theories.cosmo.traced import TracedCosmoProducts
+
+        cls = TracedCosmoProducts(self, provider_products).get_Cl(
+            ell_factor=True, units="muK2"
+        )
+        M = self.theory_cl_matrices_jax(cls, params)
+        theory = jnp.einsum(
+            "bl,lij->bij", jnp.asarray(self.windows[:, : M.shape[0]]), M
+        ) + jnp.asarray(self.Cnoise)  # C per bin
+        Chat = jnp.asarray(self.Chat + self.Cnoise)
+        if self.like_approx == "exact":
+            Msolve = jnp.linalg.solve(theory, Chat)
+            L_eff = (self.lmin_bins + self.lmax_bins) / 2
+            tr = jnp.trace(Msolve, axis1=1, axis2=2)
+            _, logdet = jnp.linalg.slogdet(Msolve)
+            chisq = ((2 * L_eff + 1) * self.fsky
+                     * (tr - self.nmaps - logdet)).sum()
+            return -0.5 * chisq, {}
+        ii = np.array([p[0] for p in self.used_pairs])
+        jj = np.array([p[1] for p in self.used_pairs])
+        if self.like_approx == "HL":
+            diag, U = jnp.linalg.eigh(theory)  # (b, m), (b, m, m)
+            bad = jnp.any(diag <= 0)
+            safe = jnp.maximum(diag, 1e-30)
+            inv_root = jnp.einsum(
+                "bim,bm,bjm->bij", U, 1.0 / jnp.sqrt(safe), U
+            )
+            D, V = jnp.linalg.eigh(
+                jnp.einsum("bij,bjk,bkl->bil", inv_root, Chat, inv_root)
+            )
+            g = jnp.sign(D - 1) * jnp.sqrt(
+                2 * jnp.maximum(
+                    0, D - jnp.log(jnp.maximum(D, 1e-30)) - 1
+                )
+            )
+            inner = jnp.einsum("bim,bm,bjm->bij", V, g, V)
+            Cf = jnp.asarray(self.Cfid_sqrt)
+            X = jnp.einsum("bij,bjk,blk->bil", Cf, inner, Cf)
+            x = X[:, ii, jj].reshape(-1)
+            chi2 = x @ jnp.asarray(self.covinv) @ x
+            return jnp.where(bad, -jnp.inf, -0.5 * chi2), {}
+        X = theory - Chat  # gaussian: C - Chat (noise cancels)
+        x = X[:, ii, jj].reshape(-1)
+        return -0.5 * x @ jnp.asarray(self.covinv) @ x, {}
 
 
 def _matrix_sqrt(M: np.ndarray) -> np.ndarray:

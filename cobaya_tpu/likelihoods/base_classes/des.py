@@ -12,7 +12,10 @@ w(theta)) through precomputed binned-Bessel matrices.
 
 Design difference from the reference: no numba — the lensing-efficiency
 integral is a triangular matrix product and the Limber sum a matmul, which
-vectorize in numpy (and map directly onto the MXU if moved on-device later).
+vectorize in numpy on the eager path and run on the MXU on the traced path
+(``logp_jax``): the Boltzmann provider exports its P(k) grid through the
+callback bridge, and photo-z/bias/IA/shear nuisance moves re-evaluate the
+whole 3x2pt pipeline on device without touching the host.
 """
 
 from __future__ import annotations
@@ -30,7 +33,10 @@ _DATA_TYPES = ["xip", "xim", "gammat", "wtheta"]
 
 class DES(DataSetLikelihood):
     type = "DES"
-    jittable = False
+    # the whole 3x2pt pipeline is traced (logp_jax): Limber projection,
+    # window/efficiency kernels and Bessel resampling are matmuls over the
+    # provider's exported P(k) grid, batched over walkers on the MXU
+    jittable = True
 
     install_options = {
         "github_repository": "CobayaSampler/des_data",
@@ -105,6 +111,17 @@ class DES(DataSetLikelihood):
             InterpolatedUnivariateSpline(self.zmid, nz_lens[:, b + 3])
             for b in range(self.nwbins)
         ]
+        from ...ops.interp import TracedSpline1D
+
+        self._zbin_sp_jax = [
+            TracedSpline1D(self.zmid, nz_source[:, b + 3],
+                           out_of_bounds=0.0)
+            for b in range(self.nzbins)
+        ]
+        self._zbin_w_sp_jax = [
+            TracedSpline1D(self.zmid, nz_lens[:, b + 3], out_of_bounds=0.0)
+            for b in range(self.nwbins)
+        ]
         self.zmax = self.zmid[-1]
         self.k_max = ini.float("kmax", 15)
         self._post_load()
@@ -142,6 +159,24 @@ class DES(DataSetLikelihood):
         else:
             self.zs = self.zmid[self.zmid <= self.zmax]
         self.zs_interp = np.linspace(0, self.zmax, 100)
+        # sparse Limber ell grid (static given acc / l_max)
+        self.ls_cl = np.concatenate([
+            np.arange(2.0, 100 - 4 / self.acc, 4 / self.acc),
+            np.exp(np.linspace(np.log(100.0), np.log(self.l_max),
+                               int(50 * self.acc))),
+        ])
+        # the ls_cl -> ls_bessel cubic-spline resampling is linear in the
+        # Cl values: precompute it as a matrix so the traced path applies
+        # the exact same interpolation as the host spline
+        from scipy.interpolate import InterpolatedUnivariateSpline as _sp
+
+        L = len(self.ls_cl)
+        op = np.zeros((len(self.ls_bessel), L))
+        for j in range(L):
+            e = np.zeros(L)
+            e[j] = 1.0
+            op[:, j] = _sp(self.ls_cl, e)(self.ls_bessel)
+        self._bessel_op = op
 
     # ------------------------------------------------------------------
     def get_requirements(self):
@@ -220,11 +255,7 @@ class DES(DataSetLikelihood):
                 qs = (3 * omegam * h2 * (1e5 / c_ms) ** 2
                       * chis * (1 + zs) / 2 * wq)
         # Limber integrand on a sparse ell grid
-        ls_cl = np.concatenate([
-            np.arange(2.0, 100 - 4 / self.acc, 4 / self.acc),
-            np.exp(np.linspace(np.log(100.0), np.log(self.l_max),
-                               int(50 * self.acc))),
-        ])
+        ls_cl = self.ls_cl
         dchifac = dchis / chis**2
         ks = np.outer(ls_cl + 0.5, 1 / chis)  # (L, N)
         z_flat = np.broadcast_to(zs, ks.shape).reshape(-1)
@@ -264,6 +295,139 @@ class DES(DataSetLikelihood):
                 cl = cl_at_bessel(tmp @ (qgal[f1] * qgal[f2]))
                 out[3][f1, f2] = cl @ j0s
         return out
+
+    # ---- traced (device) path --------------------------------------------------
+    def _get_theory_jax(self, pp, PKdelta, PKWeyl, bin_bias,
+                        shear_calibration_parameters,
+                        intrinsic_alignment_A, intrinsic_alignment_alpha,
+                        intrinsic_alignment_z0, wl_photoz_errors,
+                        lens_photoz_errors):
+        """Traced mirror of :meth:`get_theory`: Limber matmuls + precomputed
+        Bessel resampling, all on device."""
+        import jax.numpy as jnp
+
+        h2 = (pp.get_param("H0") / 100) ** 2
+        omegam = pp.get_param("omegam")
+        zs = self.zs
+        chis = pp.get_comoving_radial_distance(zs)
+        Hs = pp.get_Hubble(zs, units="1/Mpc")
+        dchis = jnp.concatenate([
+            (chis[1:2] + chis[0:1]) / 2, (chis[2:] - chis[:-2]) / 2,
+            chis[-1:] - chis[-2:-1],
+        ])
+        D_growth = jnp.sqrt(PKdelta.P(zs, 0.001) / PKdelta.P(0.0, 0.001))
+        c_ms = Const.c_km_s * 1e3
+        qgal = []
+        if any(t in self.used_types for t in ("gammat", "wtheta")):
+            for b in range(self.nwbins):
+                zshift = zs - lens_photoz_errors[b]
+                n_chi = Hs * self._zbin_w_sp_jax[b](zshift)
+                n_chi = jnp.where(zshift < 0, 0.0, n_chi)
+                qgal.append(n_chi * bin_bias[b])
+        qs = None
+        if any(t in self.used_types for t in ("gammat", "xip", "xim")):
+            align = (
+                intrinsic_alignment_A
+                * ((1 + zs) / (1 + intrinsic_alignment_z0))
+                ** intrinsic_alignment_alpha
+                * 0.0134 / D_growth
+            )
+            align = align / (
+                chis * (1 + zs) * 3 * h2 * (1e5 / c_ms) ** 2 / 2
+            )
+            tri = jnp.triu(
+                (1 - chis[:, None] / jnp.where(chis[None, :] == 0, 1,
+                                               chis[None, :]))
+                * dchis[None, :]
+            )
+            wq = []
+            for b in range(self.nzbins):
+                zshift = zs - wl_photoz_errors[b]
+                n_chi = Hs * self._zbin_sp_jax[b](zshift)
+                n_chi = jnp.where(zshift < 0, 0.0, n_chi)
+                wq.append(tri @ n_chi - align * n_chi)
+            wq = jnp.stack(wq)
+            if PKWeyl is not None:
+                if "gammat" in self.used_types:
+                    raise LoggedError(
+                        self.log,
+                        "Weyl-potential mode supports lensing only.",
+                    )
+                qs = chis * wq
+            else:
+                qs = (3 * omegam * h2 * (1e5 / c_ms) ** 2
+                      * chis * (1 + zs) / 2 * wq)
+        ls_cl = self.ls_cl
+        dchifac = dchis / chis ** 2
+        ks = jnp.outer(jnp.asarray(ls_cl) + 0.5, 1 / chis)  # (L, N)
+        z_cols = np.broadcast_to(zs, (len(ls_cl), len(zs)))
+        pk = PKdelta.P(z_cols, ks)
+        tmp = pk * dchifac[None, :]
+        tmp = jnp.where((ks < 1e-4) | (ks >= PKdelta.kmax), 0.0, tmp)
+        if PKWeyl is not None:
+            pklens = PKWeyl.P(z_cols, ks)
+            tmplens = pklens * dchifac[None, :]
+            tmplens = jnp.where(
+                (ks < 1e-4) | (ks >= PKWeyl.kmax), 0.0, tmplens
+            )
+        else:
+            tmplens = tmp
+        j0s, j2s, j4s = self.bessel_cache
+        op = jnp.asarray(self._bessel_op)
+        vecs: dict = {}
+        if "xip" in self.used_types or "xim" in self.used_types:
+            t_xip = _DATA_TYPES.index("xip")
+            t_xim = _DATA_TYPES.index("xim")
+            for f1, f2 in self.bin_pairs[self.data_types.index("xip")]:
+                cl = op @ (tmplens @ (qs[f1] * qs[f2]))
+                fac = ((1 + shear_calibration_parameters[f1])
+                       * (1 + shear_calibration_parameters[f2]))
+                vecs[(t_xip, f1, f2)] = (cl @ jnp.asarray(j0s)) * fac
+                vecs[(t_xim, f1, f2)] = (cl @ jnp.asarray(j4s)) * fac
+        if "gammat" in self.used_types:
+            t_g = _DATA_TYPES.index("gammat")
+            for f1, f2 in self.bin_pairs[self.data_types.index("gammat")]:
+                cl = op @ (tmp @ (qgal[f1] * qs[f2]))
+                vecs[(t_g, f1, f2)] = (cl @ jnp.asarray(j2s)) * (
+                    1 + shear_calibration_parameters[f2]
+                )
+        if "wtheta" in self.used_types:
+            t_w = _DATA_TYPES.index("wtheta")
+            for f1, f2 in self.bin_pairs[self.data_types.index("wtheta")]:
+                cl = op @ (tmp @ (qgal[f1] * qgal[f2]))
+                vecs[(t_w, f1, f2)] = cl @ jnp.asarray(j0s)
+        return jnp.stack([
+            vecs[(t, f1, f2)][ix] for (t, f1, f2, ix) in self.used_items
+        ])
+
+    def logp_jax(self, params, provider_products=None):
+        import jax.numpy as jnp
+
+        from ...theories.cosmo.traced import TracedCosmoProducts
+
+        pp = TracedCosmoProducts(self, provider_products)
+        PKdelta = pp.get_Pk_interpolator(
+            ("delta_tot", "delta_tot"), extrap_kmax=3000 * self.acc
+        )
+        PKWeyl = pp.get_Pk_interpolator(
+            ("Weyl", "Weyl"), extrap_kmax=3000 * self.acc
+        ) if self.use_Weyl else None
+        p = params
+        theory_vec = self._get_theory_jax(
+            pp, PKdelta, PKWeyl,
+            bin_bias=[p.get(f"DES_b{i}", 1.0) for i in range(1, 6)],
+            wl_photoz_errors=[p.get(f"DES_DzS{i}", 0.0)
+                              for i in range(1, 5)],
+            lens_photoz_errors=[p.get(f"DES_DzL{i}", 0.0)
+                                for i in range(1, 6)],
+            shear_calibration_parameters=[p.get(f"DES_m{i}", 0.0)
+                                          for i in range(1, 5)],
+            intrinsic_alignment_A=p.get("DES_AIA", 0.0),
+            intrinsic_alignment_alpha=p.get("DES_alphaIA", 0.0),
+            intrinsic_alignment_z0=p.get("DES_z0IA", 0.62),
+        )
+        delta = jnp.asarray(self.data_vector) - theory_vec
+        return -0.5 * delta @ jnp.asarray(self.covinv) @ delta, {}
 
     def chi_squared(self, theory, return_theory_vector: bool = False):
         theory_vec = self.make_vector(theory)

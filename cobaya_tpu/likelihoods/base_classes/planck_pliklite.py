@@ -8,8 +8,12 @@ spectra/bins, and evaluates a Gaussian bandpower likelihood with the
 ``A_planck`` calibration parameter.
 
 TPU-native twist: the per-bin window sums are assembled once into a dense
-binning matrix, so the theory projection is a single matrix product (MXU
-work when the theory Cls live on device).
+binning matrix, so the theory projection is a single matrix product, and the
+whole likelihood is jittable (``logp_jax``): with the theory Cls exported to
+the device by the Boltzmann provider's callback bridge, the binning matmul
+and the covariance quadratic form run on the MXU inside the sampler's jitted
+epoch, batched over all walkers — nuisance (calibration) moves never touch
+the host.
 """
 
 from __future__ import annotations
@@ -27,7 +31,7 @@ CL_NAMES = ["tt", "te", "ee"]
 
 class PlanckPlikLite(DataSetLikelihood):
     type = "CMB"
-    jittable = False
+    jittable = True  # bandpower math runs on device (see logp_jax)
 
     install_options = {
         "github_repository": "CobayaSampler/planck_native_data",
@@ -120,3 +124,25 @@ class PlanckPlikLite(DataSetLikelihood):
         cls = self.provider.get_Cl(ell_factor=True)
         calib = params_values.get(self.calibration_param, 1.0)
         return -0.5 * self.get_chi_squared(cls, calib)
+
+    def logp_jax(self, params, provider_products=None):
+        """Traced bandpower likelihood (device path).
+
+        Matches the numpy :meth:`logp` (reference planck_pliklite.py:178);
+        tested for agreement in tests/test_traced_likelihoods.py.
+        """
+        import jax.numpy as jnp
+
+        from ...theories.cosmo.traced import TracedCosmoProducts
+
+        cls = TracedCosmoProducts(self, provider_products).get_Cl(
+            ell_factor=True
+        )
+        calib = jnp.asarray(params.get(self.calibration_param, 1.0))
+        binned = [
+            jnp.asarray(block) @ jnp.asarray(cls[cl])[: self.lmax + 1]
+            for cl, block in zip(self.use_cl, self._bin_blocks)
+        ]
+        theory = jnp.concatenate(binned) / calib ** 2
+        delta = jnp.asarray(self.X_data) - theory
+        return -0.5 * delta @ jnp.asarray(self.invcov) @ delta, {}

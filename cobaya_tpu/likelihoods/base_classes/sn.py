@@ -11,6 +11,16 @@ absolute-magnitude marginalization.
 
 A simpler inline mode (rows of ``(zcmb, mag, dmag)`` plus an optional
 covmat file) is kept for scripted use and tests.
+
+TPU-native: the whole Hubble-diagram math is jittable (``logp_jax``) — the
+distance moduli come from the Boltzmann provider's exported
+``angular_diameter_distance`` grid (static gather), and the profiled /
+marginalized chi-squared is pure linear algebra over fixed-size constants,
+so it fuses into the sampler's device epoch batched over walkers.  Sampled
+alpha/beta (JLA) rebuilds the covariance per point with a traced Cholesky —
+O(n_sn^2) memory per walker; the grid-marginalized mode instead contracts
+against the precomputed inverse-covariance stack.  Only ``marginalize``
+without ``precompute_covmats`` stays on the host bridge.
 """
 
 from __future__ import annotations
@@ -28,7 +38,7 @@ _twopi = 2 * np.pi
 
 class SN(DataSetLikelihood):
     type = "SN"
-    jittable = False
+    jittable = True  # see logp_jax; demoted per-instance where unsupported
 
     install_options = {
         "github_repository": "CobayaSampler/sn_data",
@@ -40,6 +50,8 @@ class SN(DataSetLikelihood):
     marginalize: bool = False
     precompute_covmats: bool = True
     alpha_beta_names: Optional[Sequence[str]] = None
+    alpha_name: str = "alpha_jla"
+    beta_name: str = "beta_jla"
     marginalize_params: Optional[dict] = None
     # simple inline mode: rows (zcmb, mag, dmag) [+ covmat_file]
     data: Optional[Sequence] = None
@@ -133,6 +145,9 @@ class SN(DataSetLikelihood):
             self.A1, self.A2 = A1, A2
         if self.marginalize:
             self._setup_marginalization_grid()
+            if not self.precompute_covmats:
+                # lazy per-grid-point inversions are host-only
+                self.jittable = False
         elif not self.alphabeta_covmat:
             self.inverse_covariance_matrix()
 
@@ -312,6 +327,14 @@ class SN(DataSetLikelihood):
         return -chi2 / 2
 
     # ---- interface ---------------------------------------------------------------
+    def get_can_support_params(self):
+        names = []
+        if getattr(self, "alphabeta_covmat", False) and not self.marginalize:
+            names += [self.alpha_name, self.beta_name]
+        if self.use_abs_mag:
+            names.append("Mb")
+        return names
+
     def get_requirements(self):
         reqs = {"angular_diameter_distance": {"z": np.unique(self.zcmb)}}
         if self.use_abs_mag:
@@ -350,6 +373,208 @@ class SN(DataSetLikelihood):
                 params_values[self.beta_name], Mb,
             ))
         return float(self.alpha_beta_logp(lumdists, Mb=Mb))
+
+    # ---- traced (device) path --------------------------------------------------
+    def lumdists_jax(self, provider_products):
+        import jax.numpy as jnp
+
+        from ...theories.cosmo.traced import TracedCosmoProducts
+
+        DA = TracedCosmoProducts(
+            self, provider_products
+        ).get_angular_diameter_distance(self.zcmb)
+        return 5 * jnp.log10(
+            jnp.maximum((1 + self.zhel) * (1 + self.zcmb) * DA, 1e-30)
+        )
+
+    def _alpha_beta_logp_jax(self, lumdists, alpha, beta, Mb):
+        """Traced mirror of :meth:`alpha_beta_logp` (same amarg algebra)."""
+        import jax.numpy as jnp
+
+        if self.alphabeta_covmat:
+            dvar = (
+                self.pre_vars
+                + alpha ** 2 * self.stretch_var
+                + beta ** 2 * self.colour_var
+                + 2.0 * alpha * self.cov_mag_stretch
+                - 2.0 * beta * self.cov_mag_colour
+                - 2.0 * alpha * beta * self.cov_stretch_colour
+            )
+            if self.use_abs_mag:
+                estimated_scriptm = Mb + 25
+            else:
+                invvars = 1.0 / dvar
+                estimated_scriptm = (
+                    jnp.sum((self.mag - lumdists) * invvars)
+                    / jnp.sum(invvars)
+                )
+            diffmag = (self.mag - lumdists + alpha * self.stretch
+                       - beta * self.colour - estimated_scriptm)
+            cov = jnp.zeros((self.nsn, self.nsn))
+            if "mag" in self.covs:
+                cov = cov + jnp.asarray(self.covs["mag"])
+            for name, sign, fac in (
+                ("stretch", 1.0, alpha ** 2), ("colour", 1.0, beta ** 2),
+                ("mag_stretch", 1.0, 2 * alpha),
+                ("mag_colour", -1.0, 2 * beta),
+                ("stretch_colour", -1.0, 2 * alpha * beta),
+            ):
+                if name in self.covs:
+                    cov = cov + sign * fac * jnp.asarray(self.covs[name])
+            cov = cov + jnp.diag(dvar)
+            chol = jnp.linalg.cholesky(cov)
+
+            def solve(rhs):
+                from jax.scipy.linalg import cho_solve
+
+                return cho_solve((chol, True), rhs)
+
+            wt = solve(diffmag)
+            inv_ones = solve(jnp.ones(self.nsn))
+        else:
+            if self.use_abs_mag:
+                estimated_scriptm = Mb + 25
+            else:
+                invvars = 1.0 / self.pre_vars
+                estimated_scriptm = (
+                    jnp.sum((self.mag - lumdists) * invvars)
+                    / jnp.sum(invvars)
+                )
+            diffmag = self.mag - lumdists - estimated_scriptm
+            invcov = jnp.asarray(self.invcov)
+            wt = invcov @ diffmag
+            inv_ones = invcov @ jnp.ones(self.nsn)
+        amarg_A = wt @ diffmag
+        if self.twoscriptmfit:
+            A1, A2 = jnp.asarray(self.A1), jnp.asarray(self.A2)
+            amarg_B = wt @ A1
+            amarg_C = wt @ A2
+            if self.alphabeta_covmat:
+                w1 = solve(A1)
+                w2 = solve(A2)
+            else:
+                w1 = invcov @ A1
+                w2 = invcov @ A2
+            amarg_D = w1 @ A2
+            amarg_E = w1 @ A1
+            amarg_F = w2 @ A2
+            tempG = amarg_F - amarg_D ** 2 / amarg_E
+            if self.use_abs_mag:
+                chi2 = amarg_A + jnp.log(amarg_E / _twopi) \
+                    + jnp.log(tempG / _twopi)
+            else:
+                chi2 = (
+                    amarg_A + jnp.log(amarg_E / _twopi)
+                    + jnp.log(tempG / _twopi)
+                    - amarg_C ** 2 / tempG
+                    - amarg_B ** 2 * amarg_F / (amarg_E * tempG)
+                    + 2.0 * amarg_B * amarg_C * amarg_D / (amarg_E * tempG)
+                )
+        else:
+            amarg_B = jnp.sum(wt)
+            amarg_E = jnp.sum(inv_ones)
+            if self.use_abs_mag:
+                chi2 = amarg_A + jnp.log(amarg_E / _twopi)
+            else:
+                chi2 = amarg_A + jnp.log(amarg_E / _twopi) \
+                    - amarg_B ** 2 / amarg_E
+        return -chi2 / 2
+
+    def _marge_logp_jax(self, lumdists, Mb):
+        """Traced circular-grid alpha/beta marginalization: one einsum over
+        the precomputed inverse-covariance stack."""
+        import jax.numpy as jnp
+
+        invcovs = jnp.asarray(np.stack(list(self.invcovs)))  # (G, n, n)
+        alpha = self.alpha_grid[:, None]
+        beta = self.beta_grid[:, None]
+        if self.use_abs_mag:
+            scriptm = jnp.full(len(self.alpha_grid), Mb + 25)[:, None]
+        else:
+            invvars = 1.0 / (
+                self.pre_vars
+                + self.alpha_grid[:, None] ** 2 * self.stretch_var
+                + self.beta_grid[:, None] ** 2 * self.colour_var
+                + 2.0 * alpha * self.cov_mag_stretch
+                - 2.0 * beta * self.cov_mag_colour
+                - 2.0 * alpha * beta * self.cov_stretch_colour
+            )  # (G, n) constants
+            scriptm = (
+                jnp.sum((self.mag - lumdists)[None, :] * invvars, axis=1)
+                / jnp.sum(invvars, axis=1)
+            )[:, None]
+        diff = ((self.mag - lumdists)[None, :]
+                + alpha * self.stretch[None, :]
+                - beta * self.colour[None, :] - scriptm)  # (G, n)
+        wt = jnp.einsum("gij,gj->gi", invcovs, diff)  # (G, n)
+        amarg_A = jnp.sum(wt * diff, axis=1)
+        if self.twoscriptmfit:
+            A1, A2 = self.A1, self.A2
+            amarg_B = wt @ A1
+            amarg_C = wt @ A2
+            w1 = np.einsum("gij,j->gi", np.stack(list(self.invcovs)), A1)
+            w2 = np.einsum("gij,j->gi", np.stack(list(self.invcovs)), A2)
+            amarg_D = w1 @ A2  # (G,) constants
+            amarg_E = w1 @ A1
+            amarg_F = w2 @ A2
+            tempG = amarg_F - amarg_D ** 2 / amarg_E
+            if self.use_abs_mag:
+                chi2 = amarg_A + np.log(amarg_E / _twopi) \
+                    + np.log(tempG / _twopi)
+            else:
+                chi2 = (
+                    amarg_A + np.log(amarg_E / _twopi)
+                    + np.log(tempG / _twopi)
+                    - amarg_C ** 2 / tempG
+                    - amarg_B ** 2 * amarg_F / (amarg_E * tempG)
+                    + 2.0 * amarg_B * amarg_C * amarg_D / (amarg_E * tempG)
+                )
+        else:
+            amarg_B = jnp.sum(wt, axis=1)
+            amarg_E = np.stack(list(self.invcovs)).sum(axis=(1, 2))  # (G,)
+            if self.use_abs_mag:
+                chi2 = amarg_A + np.log(amarg_E / _twopi)
+            else:
+                chi2 = amarg_A + np.log(amarg_E / _twopi) \
+                    - amarg_B ** 2 / amarg_E
+        # matches the host path: marge_grid = chi2/2, logsumexp over grid
+        from jax.scipy.special import logsumexp
+
+        return logsumexp(-chi2 / 2) + jnp.log(
+            self.step_width_alpha * self.step_width_beta
+        )
+
+    def logp_jax(self, params, provider_products=None):
+        import jax.numpy as jnp
+
+        lumdists = self.lumdists_jax(provider_products)
+        if self._simple_mode:
+            return self._logp_simple_jax(lumdists, params), {}
+        Mb = params.get("Mb", 0.0) if self.use_abs_mag else 0.0
+        if self.marginalize:
+            return self._marge_logp_jax(lumdists, Mb), {}
+        if self.alphabeta_covmat:
+            alpha = jnp.asarray(params[self.alpha_name])
+            beta = jnp.asarray(params[self.beta_name])
+            return self._alpha_beta_logp_jax(lumdists, alpha, beta, Mb), {}
+        return self._alpha_beta_logp_jax(lumdists, 0.0, 0.0, Mb), {}
+
+    def _logp_simple_jax(self, lumdists, params):
+        import jax.numpy as jnp
+
+        mu_theory = lumdists + 25
+        invcov = jnp.asarray(self.invcov)
+        if self.use_abs_mag:
+            delta = self.mag - (mu_theory + params["Mb"])
+            return -0.5 * delta @ invcov @ delta
+        delta = self.mag - mu_theory
+        if not self.marginalize_M:
+            return -0.5 * delta @ invcov @ delta
+        invcov_d = invcov @ delta
+        A = delta @ invcov_d
+        B = invcov_d.sum()
+        C = invcov.sum()
+        return -0.5 * (A - B ** 2 / C + jnp.log(C / _twopi))
 
     def _logp_simple(self, lumdists, params_values):
         mu_theory = lumdists + 25
@@ -447,6 +672,16 @@ class PantheonPlusLike(SN):
     def logp(self, _derived=None, **params_values):
         Mb = params_values.get("Mb") if self.use_abs_mag else 0
         return float(self.alpha_beta_logp(self.lumdists(), Mb=Mb))
+
+    def logp_jax(self, params, provider_products=None):
+        """Traced Pantheon+-style plain quadratic form (the flat-M direction
+        is already Fisher-projected out of the inverse covariance)."""
+        import jax.numpy as jnp
+
+        lumdists = self.lumdists_jax(provider_products)
+        scriptm = (params["Mb"] + 25) if self.use_abs_mag else 0.0
+        diffmag = self.mag - lumdists - scriptm
+        return -0.5 * diffmag @ jnp.asarray(self.invcov) @ diffmag, {}
 
 
 def _read_matrix(path: str, n: int) -> np.ndarray:

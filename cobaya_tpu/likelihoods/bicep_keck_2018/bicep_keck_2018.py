@@ -142,6 +142,47 @@ def decorrelation(delta: float, nu0: float, nu1: float, nupivot, rat,
     return np.exp(np.log(delta) * scl_nu * scl_ell)
 
 
+def _dcdt_jax(nu_ghz):
+    import jax.numpy as jnp
+
+    x = _GHZ_KELVIN * jnp.asarray(nu_ghz) / _T_CMB
+    return x ** 4 * jnp.exp(x) / jnp.expm1(x) ** 2
+
+
+def _bandcenter_corrections_jax(nu_bar_ghz, bandcenter_err, Tdust, beta_d,
+                                beta_s):
+    """Traced (th_err, gb_err, pl_err): exact identities at err == 1, so no
+    branch is needed (cf. the host path's ``if bandcenter_err != 1``)."""
+    import jax.numpy as jnp
+
+    nu_bar = _GHZ_KELVIN * nu_bar_ghz
+    th_err = bandcenter_err ** 4 * (
+        jnp.exp(nu_bar * (bandcenter_err - 1) / _T_CMB)
+        * jnp.expm1(nu_bar / _T_CMB) ** 2
+        / jnp.expm1(nu_bar * bandcenter_err / _T_CMB) ** 2
+    )
+    gb_err = bandcenter_err ** (3 + beta_d) * (
+        jnp.expm1(nu_bar / Tdust)
+        / jnp.expm1(nu_bar * bandcenter_err / Tdust)
+    )
+    pl_err = bandcenter_err ** (2 + beta_s)
+    return th_err, gb_err, pl_err
+
+
+def _decorrelation_jax(delta, nu0, nu1, nupivot, rat, lform):
+    import jax.numpy as jnp
+
+    scl_nu = jnp.log(nu0 / nu1) ** 2 \
+        / np.log(nupivot[0] / nupivot[1]) ** 2
+    scl_ell = {"lin": rat, "quad": rat ** 2}.get(lform, 1.0)
+    delta = jnp.asarray(delta)
+    hi = 2.0 - jnp.exp(
+        jnp.log(jnp.maximum(2.0 - delta, 1e-30)) * scl_nu * scl_ell
+    )
+    lo = jnp.exp(jnp.log(jnp.maximum(delta, 1e-30)) * scl_nu * scl_ell)
+    return jnp.where(delta > 1, hi, lo)
+
+
 class bicep_keck_2018(CMBlikesMatrix):
     type = "CMB"
 
@@ -260,6 +301,128 @@ class bicep_keck_2018(CMBlikesMatrix):
                 f_sync[i] = sync_scaling(nu, p["BBbetasync"],
                                          self.fpivot_sync)
         return f_dust, f_sync, bc_err
+
+    def _frequency_scalings_jax(self, p):
+        """Traced per-map dust/sync frequency scalings.
+
+        Matches :meth:`_frequency_scalings`; the bandcenter-error correction
+        is applied unconditionally (exact no-op at err == 1)."""
+        import jax.numpy as jnp
+
+        Tdust = jnp.asarray(p.get("BBTdust", 19.6))
+        beta_d = jnp.asarray(p["BBbetadust"])
+        beta_s = jnp.asarray(p["BBbetasync"])
+        gamma_corr = jnp.asarray(p.get("gamma_corr", 0.0))
+        f_dust, f_sync, bc_errs = [], [], []
+        for i, (name, bp) in enumerate(zip(self.map_names,
+                                           self.bandpasses)):
+            err = jnp.asarray(1.0)
+            for band in ("95", "150", "220"):
+                if band in name:
+                    err = gamma_corr + jnp.asarray(
+                        p.get(f"gamma_{band}", 0.0)
+                    ) + 1
+                    break
+            bc_errs.append(err)
+            if bp is not None:
+                nu = jnp.asarray(bp.nu)
+                w = jnp.asarray(bp.dnu * bp.weight)
+                th_err, gb_err, pl_err = _bandcenter_corrections_jax(
+                    bp.nu_bar, err, Tdust, beta_d, beta_s
+                )
+                gb_int = jnp.sum(
+                    w * nu ** (3 + beta_d)
+                    / jnp.expm1(_GHZ_KELVIN * nu / Tdust)
+                )
+                gb0 = self.fpivot_dust ** (3 + beta_d) / jnp.expm1(
+                    _GHZ_KELVIN * self.fpivot_dust / Tdust
+                )
+                f_dust.append(
+                    (gb_int / gb0) / bp.th_dust * (gb_err / th_err)
+                )
+                pl_int = jnp.sum(w * nu ** (2 + beta_s))
+                pl0 = self.fpivot_sync ** (2 + beta_s)
+                f_sync.append(
+                    (pl_int / pl0) / bp.th_sync * (pl_err / th_err)
+                )
+            else:
+                nu = self.map_freqs[i] * err
+                x = _GHZ_KELVIN * nu / Tdust
+                x0 = _GHZ_KELVIN * self.fpivot_dust / Tdust
+                planck_ratio = (nu / self.fpivot_dust) ** 3 \
+                    * jnp.expm1(x0) / jnp.expm1(x)
+                f_dust.append(
+                    (nu / self.fpivot_dust) ** beta_d * planck_ratio
+                    * (_dcdt_jax(self.fpivot_dust) / _dcdt_jax(nu))
+                )
+                f_sync.append(
+                    (nu / self.fpivot_sync) ** (2 + beta_s)
+                    * (_dcdt_jax(self.fpivot_sync) / _dcdt_jax(nu))
+                )
+        return f_dust, f_sync, bc_errs
+
+    def theory_cl_matrices_jax(self, cls_dict, params):
+        import jax.numpy as jnp
+
+        base = super().theory_cl_matrices_jax(cls_dict, params)
+        p = params
+        ells = np.arange(base.shape[0], dtype=float)
+        rat = np.where(ells > 0, ells / _ELL_PIVOT, 0.0)
+        # grad-safe power: exponentiate a strictly-positive base, mask l=0
+        rat_safe = np.where(ells > 0, rat, 1.0)
+        ell_dust = jnp.where(
+            ells > 0,
+            jnp.asarray(rat_safe) ** jnp.asarray(p["BBalphadust"]), 0.0,
+        )
+        ell_sync = jnp.where(
+            ells > 0,
+            jnp.asarray(rat_safe) ** jnp.asarray(p["BBalphasync"]), 0.0,
+        )
+        f_dust, f_sync, bc_err = self._frequency_scalings_jax(p)
+        dustpow = jnp.asarray(p["BBdust"]) * ell_dust
+        syncpow = jnp.asarray(p["BBsync"]) * ell_sync
+        dustsyncpow = (
+            jnp.asarray(p.get("BBdustsynccorr", 0.0))
+            * jnp.sqrt(jnp.asarray(p["BBdust"]) * jnp.asarray(p["BBsync"]))
+            * jnp.sqrt(ell_dust * ell_sync)
+        )
+        delta_dust = jnp.asarray(p.get("delta_dust", 1.0))
+        delta_sync = jnp.asarray(p.get("delta_sync", 1.0))
+        rows = [[None] * self.nmaps for _ in range(self.nmaps)]
+        for i in range(self.nmaps):
+            for j in range(i + 1):
+                corr_dust = corr_sync = 1.0
+                if i != j:
+                    # decorrelation factors are exactly 1 at delta == 1,
+                    # so no need for the host path's threshold branch
+                    corr_dust = _decorrelation_jax(
+                        delta_dust,
+                        self.map_freqs[i] * bc_err[i],
+                        self.map_freqs[j] * bc_err[j],
+                        self.fpivot_dust_decorr, jnp.asarray(rat),
+                        self.lform_dust_decorr,
+                    )
+                    corr_sync = _decorrelation_jax(
+                        delta_sync,
+                        self.map_freqs[i] * bc_err[i],
+                        self.map_freqs[j] * bc_err[j],
+                        self.fpivot_sync_decorr, jnp.asarray(rat),
+                        self.lform_sync_decorr,
+                    )
+                cl = (
+                    f_dust[i] * f_dust[j] * dustpow * corr_dust
+                    + f_sync[i] * f_sync[j] * syncpow * corr_sync
+                    + (f_dust[i] * f_sync[j] + f_sync[i] * f_dust[j])
+                    * dustsyncpow
+                )
+                rows[i][j] = cl
+                if i != j:
+                    rows[j][i] = cl
+        fg = jnp.stack([
+            jnp.stack([rows[i][j] for j in range(self.nmaps)], axis=-1)
+            for i in range(self.nmaps)
+        ], axis=-2)  # (lmax+1, nmaps, nmaps)
+        return base + fg
 
     def theory_cl_matrices(self, cls_dict, params) -> np.ndarray:
         base = super().theory_cl_matrices(cls_dict, params)  # CMB part

@@ -1015,6 +1015,7 @@ class Model(HasLogger):
                             comp.calculate(state, True, **params)
                             values = {**state,
                                       **(state.get("derived") or {})}
+                            values.update(comp.callback_export(state))
                             values["__token__"] = comp._store_state_object(
                                 state, batch_size=n
                             )

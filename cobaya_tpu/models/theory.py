@@ -213,6 +213,17 @@ class Theory(CobayaComponent):
         """For non-jittable components: {product_name: ShapeDtypeStruct}."""
         return {}
 
+    def callback_export(self, state: dict) -> dict:
+        """Numeric views of a computed state for the jit bridge.
+
+        Called by the host-callback bridge right after :meth:`calculate`;
+        returned values are merged over the raw state when filling the
+        declared :meth:`callback_output_spec` outputs.  Override to flatten
+        structured products (e.g. a Cl dict) into the fixed-shape arrays
+        that traced downstream consumers read.
+        """
+        return {}
+
     # ---- eager-path state cache --------------------------------------------------
     def check_cache_and_compute(self, params_values_dict: dict,
                                 dependency_params=None,

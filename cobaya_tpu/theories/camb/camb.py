@@ -382,7 +382,13 @@ class CAMB(BoltzmannBase):
             "thetastar": "thetastar", "zdrag": "zdrag", "rdrag": "rdrag",
             "kd": "kd", "thetad": "thetad", "zeq": "zeq", "keq": "keq",
         }
-        for p in self.output_params:
+        # requirement-negotiated derived params (e.g. BAO's rdrag) are
+        # computed even when not requested as chain output params, so
+        # traced likelihoods can consume them on device
+        wanted = set(self.output_params) | set(
+            self._must_provide.get("derived_params", ())
+        )
+        for p in wanted:
             pt = self.translate_param(p)
             if pt in derived_dict:
                 derived[p] = derived_dict[pt]
@@ -406,20 +412,13 @@ class CAMB(BoltzmannBase):
     def get_CAMBdata(self):
         return self.current_state.get("CAMBdata")
 
-    def get_Cl(self, ell_factor: bool = False, units: str = "FIRASmuK2"):
-        cl = dict(self.current_state["Cl"])
-        ells = cl["ell"]
-        T_cmb = getattr(
-            getattr(self.current_state.get("CAMBdata"), "Params", None),
-            "TCMB", 2.7255,
-        )
-        factor = self._cmb_unit_factor(units, T_cmb)
-        ell_fac = ells * (ells + 1) / (2 * np.pi) if ell_factor else 1.0
-        out = {"ell": ells}
-        for key, val in cl.items():
-            if key != "ell":
-                out[key] = val * factor * ell_fac
-        return out
+    def _T_cmb_of_state(self, state: dict) -> float:
+        return float(getattr(
+            getattr(state.get("CAMBdata"), "Params", None), "TCMB", 2.7255,
+        ))
+
+    # get_Cl / get_unlensed_Cl inherited from BoltzmannBase (raw Cl stored
+    # in the state; units via _T_cmb_of_state below)
 
     # ------------------------------------------------------------------
     @classmethod

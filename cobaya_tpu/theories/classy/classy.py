@@ -104,6 +104,7 @@ class classy(BoltzmannBase):
             lmax = max(mp["Cl"].values())
             cls = self.classy.lensed_cl(lmax)
             state["Cl"] = {k: np.asarray(v) for k, v in cls.items()}
+            state["T_cmb"] = float(self.classy.T_cmb())
         if "Hubble" in mp:
             z = mp["Hubble"]["z"]
             state["Hubble"] = np.array(
@@ -151,16 +152,11 @@ class classy(BoltzmannBase):
             state["derived"] = derived
         return True
 
-    def get_Cl(self, ell_factor: bool = False, units: str = "FIRASmuK2"):
-        cls = dict(self.current_state["Cl"])
-        ells = cls.get("ell", np.arange(len(cls.get("tt", []))))
-        factor = self._cmb_unit_factor(units, self.classy.T_cmb())
-        ell_fac = ells * (ells + 1) / (2 * np.pi) if ell_factor else 1.0
-        out = {"ell": ells}
-        for key, val in cls.items():
-            if key != "ell":
-                out[key] = np.asarray(val) * factor * ell_fac
-        return out
+    # get_Cl inherited from BoltzmannBase (raw Cl in the state)
+    def _T_cmb_of_state(self, state: dict) -> float:
+        from ...utils.conventions import Const
+
+        return float(state.get("T_cmb", Const.T_CMB))
 
     def close(self):
         try:

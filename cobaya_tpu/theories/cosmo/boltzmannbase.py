@@ -121,6 +121,98 @@ class BoltzmannBase(Theory):
     def requested(self) -> dict:
         return dict(self._must_provide)
 
+    # ------------------------------------------------------------------
+    # traced product export (device-side likelihood math)
+    # ------------------------------------------------------------------
+    # z-pool requirements exported verbatim as fixed-shape arrays
+    _Z_EXPORTS = ("Hubble", "angular_diameter_distance",
+                  "comoving_radial_distance", "fsigma8", "sigma8_z",
+                  "Omega_b", "Omega_cdm", "Omega_nu_massive")
+    # number of k points on the exported P(k) grid (must match the grid the
+    # backend stores in the state; the CAMB/CLASS wrappers use 200)
+    pk_grid_points: int = 200
+
+    def _pk_export_entries(self):
+        """(key, nz, pair, nonlinear) tuples for the negotiated Pk grids."""
+        entries = []
+        seen = set()
+        for req in ("Pk_interpolator", "Pk_grid"):
+            spec = self._must_provide.get(req)
+            if spec is None:
+                continue
+            nz = len(np.atleast_1d(spec.get("z", [0.0])))
+            for pair in _norm_pairs(spec.get("vars_pairs")):
+                if pair in seen:
+                    continue
+                seen.add(pair)
+                tag = f"{pair[0]}_{pair[1]}"
+                entries.append((f"Pk_k_{tag}", nz, pair, None))
+                entries.append((f"Pk_nl_{tag}", nz, pair, True))
+                entries.append((f"Pk_lin_{tag}", nz, pair, False))
+        return entries
+
+    def callback_output_spec(self) -> dict:
+        """Fixed-shape numeric products for the jit bridge.
+
+        Jittable likelihoods downstream read these as traced arrays via
+        :class:`~cobaya_tpu.theories.cosmo.traced.TracedCosmoProducts`, so
+        all bandpower/covariance math stays on device; conventions
+        documented there.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        dt = jnp.zeros(0).dtype  # honors jax_enable_x64
+        spec: dict[str, Any] = {}
+        mp = self._must_provide
+        for cl, lmax in mp.get("Cl", {}).items():
+            spec[f"Cl_{cl}"] = jax.ShapeDtypeStruct((int(lmax) + 1,), dt)
+        if "Cl" in mp:
+            spec["T_cmb"] = jax.ShapeDtypeStruct((), dt)
+        for req in self._Z_EXPORTS:
+            if req in mp:
+                n = len(np.atleast_1d(mp[req]["z"]))
+                spec[req] = jax.ShapeDtypeStruct((n,), dt)
+        if "angular_diameter_distance_2" in mp:
+            n = len(mp["angular_diameter_distance_2"]["z_pairs"])
+            spec["angular_diameter_distance_2"] = jax.ShapeDtypeStruct(
+                (n,), dt
+            )
+        for p in sorted(mp.get("derived_params", ())):
+            spec[p] = jax.ShapeDtypeStruct((), dt)
+        nk = int(self.pk_grid_points)
+        for key, nz, _pair, nonlinear in self._pk_export_entries():
+            shape = (nk,) if nonlinear is None else (nz, nk)
+            spec[key] = jax.ShapeDtypeStruct(shape, dt)
+        return spec
+
+    def callback_export(self, state: dict) -> dict:
+        """Flatten a computed state into the declared spec keys."""
+        out: dict[str, Any] = {}
+        mp = self._must_provide
+        cl_state = state.get("Cl") or {}
+        for cl, lmax in mp.get("Cl", {}).items():
+            vec = np.zeros(int(lmax) + 1)
+            src = np.asarray(cl_state.get(cl, []))[: int(lmax) + 1]
+            vec[: len(src)] = src
+            out[f"Cl_{cl}"] = vec
+        if "Cl" in mp:
+            out["T_cmb"] = self._T_cmb_of_state(state)
+        for key, _nz, pair, nonlinear in self._pk_export_entries():
+            state_key = ("Pk_grid", True if nonlinear is None else
+                         nonlinear) + tuple(pair)
+            if state_key in state:
+                z, k, pk = state[state_key]
+                out[key] = np.asarray(k) if nonlinear is None \
+                    else np.asarray(pk)
+        # z-grid quantities and derived params are already flat in the
+        # state / derived dict and flow through the bridge by name
+        return out
+
+    def _T_cmb_of_state(self, state: dict) -> float:
+        """CMB temperature [K] of this state (for traced unit factors)."""
+        return Const.T_CMB
+
     def _get_z_dependent(self, quantity: str, z) -> np.ndarray:
         pool = self._z_pools.get(quantity)
         if pool is None:
@@ -152,13 +244,42 @@ class BoltzmannBase(Theory):
                 units, list(units_factors),
             ) from exc
 
+    def _cl_dict_with_units(self, key: str, ell_factor: bool, units: str):
+        """Convert a stored raw dimensionless Cl dict to requested units.
+
+        The lensing potential 'pp' is dimensionless (no unit factor) and its
+        conventional ell factor is [l(l+1)]^2/2pi (reference camb.py:305).
+        """
+        raw = self.current_state.get(key)
+        if raw is None:
+            raise LoggedError(
+                self.log, "'%s' not computed; was it requested via "
+                "must_provide?", key,
+            )
+        cl = dict(raw)
+        ells = cl["ell"]
+        factor = self._cmb_unit_factor(
+            units, self._T_cmb_of_state(self.current_state)
+        )
+        ell_fac = ells * (ells + 1) / (2 * np.pi) if ell_factor else 1.0
+        out = {"ell": ells}
+        for name, val in cl.items():
+            if name == "ell":
+                continue
+            if name == "pp":
+                out[name] = val * ((ells * (ells + 1.0)) ** 2 / (2 * np.pi)
+                                   if ell_factor else 1.0)
+            else:
+                out[name] = val * factor * ell_fac
+        return out
+
     def get_Cl(self, ell_factor: bool = False, units: str = "FIRASmuK2"):
-        raise LoggedError(self.log, "get_Cl not implemented by %s",
-                          self.get_name())
+        """Lensed Cl dict; backends store raw dimensionless Cl under 'Cl'."""
+        return self._cl_dict_with_units("Cl", ell_factor, units)
 
     def get_unlensed_Cl(self, ell_factor: bool = False,
                         units: str = "FIRASmuK2"):
-        raise LoggedError(self.log, "get_unlensed_Cl not implemented.")
+        return self._cl_dict_with_units("unlensed_Cl", ell_factor, units)
 
     def get_Hubble(self, z, units: str = "km/s/Mpc"):
         factors = {"km/s/Mpc": 1.0, "1/Mpc": 1.0 / Const.c_km_s}

@@ -22,20 +22,16 @@ class MockCls(BoltzmannBase):
         with np.errstate(divide="ignore"):
             dl = A * 1000.0 * (np.maximum(ells, 1) / 200.0) ** -0.5
         dl[:2] = 0
-        # store as raw Cl so get_Cl can apply the ell factor
-        cl = dl * 2 * np.pi / np.maximum(ells * (ells + 1), 1)
+        # store raw dimensionless Cl (BoltzmannBase contract): get_Cl
+        # applies the ell factor and the muK2 unit conversion
+        from cobaya_tpu.utils.conventions import Const
+
+        muK2 = (Const.T_CMB * 1e6) ** 2
+        cl = dl * 2 * np.pi / np.maximum(ells * (ells + 1), 1) / muK2
         state["Cl"] = {"ell": ells, "tt": cl}
         if want_derived:
             state["derived"] = {}
         return True
-
-    def get_Cl(self, ell_factor=False, units="muK2"):
-        cl = dict(self.current_state["Cl"])
-        ells = cl["ell"]
-        if ell_factor:
-            fac = ells * (ells + 1) / (2 * np.pi)
-            return {"ell": ells, "tt": cl["tt"] * fac}
-        return cl
 
 
 @pytest.fixture()

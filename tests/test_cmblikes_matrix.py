@@ -32,6 +32,10 @@ class MockBB:
 
 @pytest.fixture()
 def matrix_dataset(tmp_path):
+    return make_matrix_dataset(tmp_path)
+
+
+def make_matrix_dataset(tmp_path):
     nbins, nmaps = 4, 2
     lmin = np.array([20, 60, 100, 140])
     lmax = np.array([59, 99, 139, 179])
@@ -75,19 +79,15 @@ def _theory_info(dataset, cls="cobaya_tpu.likelihoods.base_classes."
             lmax = max(self._must_provide.get("Cl", {}).values() or [180])
             dl = MockBB.dl(lmax, params_values["Abb"])
             ells = _np.arange(lmax + 1)
-            cl = dl * 2 * _np.pi / _np.maximum(ells * (ells + 1), 1)
+            # raw dimensionless Cl (BoltzmannBase contract)
+            from cobaya_tpu.utils.conventions import Const
+
+            muK2 = (Const.T_CMB * 1e6) ** 2
+            cl = dl * 2 * _np.pi / _np.maximum(ells * (ells + 1), 1) / muK2
             state["Cl"] = {"ell": ells, "bb": cl}
             if want_derived:
                 state["derived"] = {}
             return True
-
-        def get_Cl(self, ell_factor=False, units="muK2"):
-            cl = dict(self.current_state["Cl"])
-            if ell_factor:
-                ells = cl["ell"]
-                fac = ells * (ells + 1) / (2 * _np.pi)
-                return {"ell": ells, "bb": cl["bb"] * fac}
-            return cl
 
     like_info = {"class": cls, "dataset_file": dataset}
     like_info.update(extra or {})
