@@ -260,10 +260,51 @@ class OutputDummy(OutputReadOnly):
         return False
 
 
+class OutputNonRoot(OutputReadOnly):
+    """Per-rank output view in a multi-process run.
+
+    The root process owns all shared products (info yaml dumps, the run
+    lock, deletions, compatibility checks — reference output.py:432); other
+    ranks keep path arithmetic (so they can write their own chain/state
+    files under rank-specific names) but no-op every shared side effect.
+    """
+
+    def __init__(self, prefix: str, resuming: bool,
+                 infix: Optional[str] = None):
+        super().__init__(prefix, infix=infix)
+        self.force = False
+        self._resuming = bool(resuming)
+
+    def is_resuming(self) -> bool:
+        return self._resuming
+
+    def set_resuming(self, value: bool):
+        self._resuming = bool(value)
+
+    def check_and_dump_info(self, *args, **kwargs):
+        return None
+
+    def delete_infix_products(self):
+        return None
+
+    def create_folder(self, folder: str):
+        os.makedirs(folder, exist_ok=True)
+
+    def close(self):
+        return None
+
+
 def get_output(prefix: Optional[str] = None, resume: bool = False,
                force: bool = False, infix: Optional[str] = None):
+    from ..parallel import state as pstate
+
     if prefix:
-        return Output(prefix, resume=resume, force=force, infix=infix)
+        if pstate.is_main_process():
+            out = Output(prefix, resume=resume, force=force, infix=infix)
+            pstate.share(out.is_resuming(), tag="output-resuming")
+            return out
+        resuming = pstate.share(None, tag="output-resuming")
+        return OutputNonRoot(prefix, resuming, infix=infix)
     return OutputDummy()
 
 

@@ -40,6 +40,22 @@ def rminus1_of_moments_jax(mean_of_covs, cov_of_means):
     return jnp.max(jnp.abs(eigs))
 
 
+def rminus1_from_covs(mean_of_covs, cov_of_means) -> float:
+    """Host (numpy) mirror of :func:`rminus1_of_moments_jax` — used to
+    recompute R-1 after pooling window statistics across processes."""
+    from scipy.linalg import solve_triangular
+
+    std = np.sqrt(np.diagonal(mean_of_covs))
+    norm = np.outer(std, std)
+    cmc = np.asarray(mean_of_covs) / norm
+    ccm = np.asarray(cov_of_means) / norm
+    L = np.linalg.cholesky(cmc)
+    Linv_cm = solve_triangular(L, ccm, lower=True)
+    A = solve_triangular(L, Linv_cm.T, lower=True).T
+    eigs = np.linalg.eigvalsh((A + A.T) / 2)
+    return float(np.max(np.abs(eigs)))
+
+
 def rminus1_of_moments(counts, means, covs, weighted: bool = True) -> float:
     """Host/numpy version (used at checkpoint time and in tests)."""
     counts = np.asarray(counts, float)

@@ -25,12 +25,18 @@ CHAIN_AXIS = "chains"
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None):
-    """A 1D mesh over (up to) all visible devices, axis name 'chains'."""
+    """A 1D mesh over (up to) this process's devices, axis name 'chains'.
+
+    In a multi-process run each process drives its OWN chips with its own
+    walker population (cross-process statistics pool through the
+    coordination service, see ``parallel.state``), so the mesh spans only
+    addressable devices.
+    """
     import jax
     from jax.sharding import Mesh
 
     if devices is None:
-        devices = jax.devices()
+        devices = jax.local_devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (CHAIN_AXIS,))

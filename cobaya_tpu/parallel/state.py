@@ -47,21 +47,62 @@ def _distributed_client():
 
 
 def process_index() -> int:
+    # consult the coordination service first: it exists as soon as
+    # jax.distributed.initialize ran, without forcing backend creation
     try:
-        import jax
+        from jax._src import distributed
 
-        return jax.process_index()
+        st = distributed.global_state
+        if st.client is not None and st.process_id is not None:
+            return int(st.process_id)
     except Exception:
-        return 0
+        pass
+    return 0
 
 
 def process_count() -> int:
     try:
-        import jax
+        from jax._src import distributed
 
-        return jax.process_count()
+        st = distributed.global_state
+        if st.client is not None and st.num_processes:
+            return int(st.num_processes)
     except Exception:
-        return 1
+        pass
+    return 1
+
+
+def maybe_init_distributed(no_mpi: bool = False) -> bool:
+    """Initialize ``jax.distributed`` from the environment (idempotent).
+
+    The reference auto-detects MPI at import (mpi.py:55); here a
+    multi-process run is declared by the launcher via
+    ``COBAYA_TPU_COORDINATOR`` / ``COBAYA_TPU_N_PROCESSES`` /
+    ``COBAYA_TPU_PROCESS_ID`` (or the standard JAX equivalents, or the TPU
+    pod metadata that ``jax.distributed.initialize()`` discovers on its
+    own).  Returns True when this run spans more than one process.
+    """
+    if no_mpi or os.environ.get("COBAYA_TPU_NO_MPI"):
+        return False
+    if more_than_one_process():
+        return True
+    addr = os.environ.get("COBAYA_TPU_COORDINATOR") \
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    n = os.environ.get("COBAYA_TPU_N_PROCESSES") \
+        or os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("COBAYA_TPU_PROCESS_ID") \
+        or os.environ.get("JAX_PROCESS_ID")
+    if not (addr and n and pid is not None):
+        return False
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=addr, num_processes=int(n),
+        process_id=int(pid),
+    )
+    log.info("Distributed run: process %d of %d (coordinator %s)",
+             process_index(), process_count(), addr)
+    return more_than_one_process()
 
 
 # reference-compatible aliases
@@ -276,11 +317,15 @@ class ProcessState:
     """
 
     _active: list["ProcessState"] = []
+    _counter = [0]
 
     def __init__(self, name: str = "run",
                  error_timeout: float = default_error_timeout_seconds,
                  timeout_abort_proc: Callable = abort_if_mpi):
-        self.name = f"{name}@{time.time_ns()}"
+        # deterministic name: peers create states in the same order (same
+        # program), so a shared counter lines their KV keys up
+        ProcessState._counter[0] += 1
+        self.name = f"{name}@{ProcessState._counter[0]}"
         self.error_timeout = error_timeout
         self.timeout_abort_proc = timeout_abort_proc
         self._state = State.NONE

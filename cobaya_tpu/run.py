@@ -39,8 +39,10 @@ def run(
 ) -> InfoSamplerTuple:
     """Run a sampler on a model, as declared in the input."""
     from .io.output import get_output
+    from .parallel import state as pstate
     from .samplers.sampler import get_sampler
 
+    pstate.maybe_init_distributed(no_mpi=no_mpi)
     info = load_input_dict(info_or_yaml_or_file)
     if override:
         info = recursive_update(info, override)
@@ -96,7 +98,11 @@ def run(
         log.info("Test initialization successful! "
                  "You can probably run this input.")
         return InfoSamplerTuple(updated_info, sampler)
-    sampler.run()
+    # cross-process error propagation: one process's failure aborts its
+    # peers at their next sync point instead of deadlocking them
+    # (reference mpi.py:350-467)
+    with pstate.ProcessState("sampler.run"):
+        sampler.run()
     if out:
         out.close()
     return InfoSamplerTuple(updated_info, sampler)

@@ -28,13 +28,42 @@ import numpy as np
 
 from ...io.collection import SampleCollection
 from ...ops import moments as mom_ops
-from ...ops.convergence import rminus1_cl_bounds, rminus1_of_moments
+from ...ops.convergence import (
+    rminus1_cl_bounds,
+    rminus1_from_covs,
+    rminus1_of_moments,
+)
 from ...ops.metropolis import MCMCCarry, init_carry, make_epoch_fn, reset_moments
 from ...ops.proposal import build_blocked_proposal, make_block_schedule
 from ...utils import conventions as cv
 from ...utils.log import LoggedError
 from ...utils.tools import NumberWithUnits, read_dnumber
 from ..sampler import CovmatSampler
+
+
+def _pool_window_stats(per_proc: list) -> tuple:
+    """Pool one window's statistics over processes.
+
+    Each entry is ``[rminus1, mean_of_covs, cov_of_means, mu, weight]``
+    from one process; the pooled covariance-of-means adds the between-
+    process spread of the mean vectors (exact for count-weighted walker
+    means), and R-1 is recomputed from the pooled matrices.
+    """
+    ws = np.array([float(p[4]) for p in per_proc])
+    wsum = max(ws.sum(), 1e-30)
+    w = ws / wsum
+    moc = sum(wi * np.asarray(p[1]) for wi, p in zip(w, per_proc))
+    mus = np.stack([np.asarray(p[3]) for p in per_proc])
+    M = np.einsum("p,pi->i", w, mus)
+    com = sum(
+        wi * (np.asarray(p[2]) + np.outer(mu - M, mu - M))
+        for wi, p, mu in zip(w, per_proc, mus)
+    )
+    try:
+        r = rminus1_from_covs(moc, com)
+    except np.linalg.LinAlgError:
+        r = np.inf
+    return (r, moc, com, M, wsum)
 
 
 class MCMC(CovmatSampler):
@@ -172,8 +201,13 @@ class MCMC(CovmatSampler):
         def window_stats(mom: mom_ops.Moments):
             mean_of_covs = mom_ops.mean_of_covs(mom)
             cov_of_means = mom_ops.cov_of_means(mom)
+            # weighted mean-of-means + total weight: the sufficient extra
+            # statistics to pool cov_of_means across processes exactly
+            counts = mom.count
+            w = counts / jnp.maximum(jnp.sum(counts), 1.0)
+            mu = jnp.einsum("c,ci->i", w, mom_ops.mean(mom))
             return (rminus1_of_moments_jax(mean_of_covs, cov_of_means),
-                    mean_of_covs, cov_of_means)
+                    mean_of_covs, cov_of_means, mu, jnp.sum(counts))
 
         def epoch_stats(carry):
             return (window_stats(carry.mom), window_stats(carry.mom2),
@@ -281,10 +315,15 @@ class MCMC(CovmatSampler):
         self._carry = self._shard(carry)
 
     def _make_collections(self):
+        from ...parallel import state as pstate
+
         n_out = min(self.output_chains, self.n_chains)
+        # multi-process runs interleave chain numbers across ranks, like
+        # the reference's one-chain-per-MPI-rank naming (output.py:546)
+        offset = pstate.process_index() * n_out
         return [
             SampleCollection(
-                self.model, self.output, name=str(i + 1),
+                self.model, self.output, name=str(offset + i + 1),
                 resuming=bool(self.output and self.output.is_resuming()),
                 temperature=self.temperature,
             )
@@ -504,10 +543,28 @@ class MCMC(CovmatSampler):
         total, thin = ep["total"], ep["thin"]
         self.n_steps += total
         (stats_a, stats_b, acc_mean, streak) = stats_h
+        from ...parallel import state as pstate
+
+        if pstate.more_than_one_process():
+            # pool the window statistics across processes (the reference's
+            # cross-MPI R-1, /root/reference/cobaya/samplers/mcmc/mcmc.py:791)
+            state = pstate.get_current_state()
+            if state is not None:
+                state.check_error()
+            gathered = pstate.allgather(
+                ([np.asarray(s) for s in stats_a],
+                 [np.asarray(s) for s in stats_b],
+                 float(acc_mean), int(streak)),
+                tag="epoch-stats",
+            )
+            stats_a = _pool_window_stats([g[0] for g in gathered])
+            stats_b = _pool_window_stats([g[1] for g in gathered])
+            acc_mean = float(np.mean([g[2] for g in gathered]))
+            streak = max(g[3] for g in gathered)
         # primary window = the longer one (snapshot taken at dispatch)
         win_steps = ep["win_steps"]
         primary = 0 if win_steps[0] >= win_steps[1] else 1
-        rminus1, mean_of_covs, cov_of_means = (stats_a, stats_b)[primary]
+        rminus1, mean_of_covs, cov_of_means = (stats_a, stats_b)[primary][:3]
         self._last_stats = {
             "rminus1": float(rminus1),
             "mean_of_covs": np.asarray(mean_of_covs, float),
@@ -648,8 +705,17 @@ class MCMC(CovmatSampler):
         C = xs.shape[0]
         take = min(C, 64)
         idx = self.rng.choice(C, take, replace=False)
+        xs = xs[idx]
+        from ...parallel import state as pstate
+
+        if pstate.more_than_one_process():
+            # pool the walker subsamples so the CL-bound spread is computed
+            # over the global population (reference mcmc.py:918-1002)
+            xs = np.concatenate(
+                pstate.allgather(xs, tag="cl-bounds"), axis=0
+            )
         per_param = rminus1_cl_bounds(
-            xs[idx], None, confidence=self.Rminus1_cl_level
+            xs, None, confidence=self.Rminus1_cl_level
         )
         return float(per_param.max())
 
@@ -659,19 +725,21 @@ class MCMC(CovmatSampler):
     def _write_checkpoint(self):
         if not self.output:
             return
+        from ...parallel import state as pstate
+
         self.write_checkpoint_info({
             "converged": bool(self.converged),
             "Rminus1_last": float(self.Rminus1_last),
             "Rminus1_cl_last": float(self.Rminus1_cl_last),
             "burn_in": 0 if self.n_steps >= self._burn_in else self._burn_in,
-            "mpi_size": 1,
+            "mpi_size": pstate.process_count(),
             "n_chains": self.n_chains,
             "n_steps": self.n_steps,
             "checks_passed": self._checks_passed,
         })
         self.dump_covmat(self._proposal.covmat)
         # progress table
-        if self.progress_filename:
+        if self.progress_filename and pstate.is_main_process():
             with open(self.progress_filename, "w", encoding="utf-8") as f:
                 f.write("# N  timestamp  acceptance_rate  Rminus1  "
                         "Rminus1_cl\n")

@@ -81,15 +81,28 @@ class Sampler(CobayaComponent):
 
     # ---- RNG -------------------------------------------------------------------
     def _set_rng(self):
+        from ..parallel import state as pstate
+
         seed = self.seed
         if seed is None:
-            seed = int.from_bytes(os.urandom(4), "little")
+            # the auto seed is drawn on root and shared, so every process
+            # spawns from the same SeedSequence (reference sampler.py's
+            # per-rank SeedSequence scatter, mpi-synced)
+            seed = pstate.share(
+                int.from_bytes(os.urandom(4), "little"), tag="seed"
+            )
             self._auto_seed = seed
         else:
             self.mpi_info("Seeded run with seed=%s", seed)
         self._seed_used = int(seed)
-        self._rng = np.random.default_rng(self._seed_used)
+        rank, nproc = pstate.process_index(), pstate.process_count()
+        if nproc > 1:
+            child = np.random.SeedSequence(self._seed_used).spawn(nproc)
+            self._rng = np.random.default_rng(child[rank])
+        else:
+            self._rng = np.random.default_rng(self._seed_used)
         self._jax_key = None
+        self._rank = rank
 
     @property
     def rng(self) -> np.random.Generator:
@@ -99,7 +112,10 @@ class Sampler(CobayaComponent):
         import jax
 
         if self._jax_key is None:
-            self._jax_key = jax.random.key(self._seed_used)
+            key = jax.random.key(self._seed_used)
+            if getattr(self, "_rank", 0):
+                key = jax.random.fold_in(key, self._rank)
+            self._jax_key = key
         return self._jax_key
 
     def next_jax_key(self):
@@ -146,13 +162,19 @@ class Sampler(CobayaComponent):
     @property
     def state_filename(self) -> Optional[str]:
         if self.output:
+            from ..parallel import state as pstate
+
+            rank_sfx = (f".{pstate.process_index() + 1}"
+                        if pstate.more_than_one_process() else "")
             return self.output.add_suffix(
-                self.get_name() + ".state.npz", separator="."
+                self.get_name() + rank_sfx + ".state.npz", separator="."
             )
         return None
 
     def write_checkpoint_info(self, info: dict):
-        if self.checkpoint_filename:
+        from ..parallel import state as pstate
+
+        if self.checkpoint_filename and pstate.is_main_process():
             yaml_dump_file(
                 self.checkpoint_filename, {"sampler": {self.get_name(): info}}
             )
@@ -303,7 +325,9 @@ class CovmatSampler(Sampler):
         return None
 
     def dump_covmat(self, covmat: np.ndarray):
-        if not self.output:
+        from ..parallel import state as pstate
+
+        if not self.output or not pstate.is_main_process():
             return
         fn = self.output.add_suffix(
             self.get_name() + cv.Extension.covmat, separator="."

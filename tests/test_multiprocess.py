@@ -1,0 +1,153 @@
+"""Multi-process runs over jax.distributed (the reference's MPI mode).
+
+Two localhost CPU processes coordinate through the JAX coordination
+service: pooled cross-process R-1 drives a synchronized stop (the
+reference's ``test_mcmc_sync``, /root/reference/tests/test_mcmc.py:174-215),
+the root process owns shared output products while every rank writes its
+own chains, and one process's failure aborts its peers (ProcessState).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _launch(script: str, rank: int, port: int, extra_env=None):
+    env = dict(os.environ)
+    env.update({
+        "PALLAS_AXON_POOL_IPS": "",
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        "COBAYA_TPU_COORDINATOR": f"127.0.0.1:{port}",
+        "COBAYA_TPU_N_PROCESSES": "2",
+        "COBAYA_TPU_PROCESS_ID": str(rank),
+        "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
+    })
+    env.update(extra_env or {})
+    return subprocess.Popen(
+        [sys.executable, "-c", script],
+        env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+
+
+RUN_SCRIPT = r"""
+import os, sys
+from cobaya_tpu.run import run
+
+prefix = os.environ["TEST_PREFIX"]
+info = {
+    "params": {
+        "x0": {"prior": [-5, 5], "ref": 0.0, "proposal": 0.5},
+        "x1": {"prior": [-5, 5], "ref": 0.0, "proposal": 0.5},
+    },
+    "likelihood": {"gaussian_mixture": {
+        "means": [[0.1, -0.2]], "covs": [[[0.6, 0.1], [0.1, 0.4]]],
+        "input_params_prefix": "x",
+    }},
+    "sampler": {"mcmc": {
+        "seed": 7, "n_chains": 16, "max_samples": 3000,
+        "learn_every": 250, "Rminus1_stop": 0.05, "burn_in": 0,
+        "measure_speeds": False, "output_chains": 1, "fetch_chains": 8,
+    }},
+    "output": prefix,
+    "force": True,
+}
+upd, sampler = run(info)
+print("RESULT", sampler.n_steps, int(sampler.converged),
+      round(float(sampler.Rminus1_last), 8))
+"""
+
+
+
+def test_two_process_mcmc_sync(tmp_path):
+    port = _free_port()
+    prefix = str(tmp_path / "chains" / "mp")
+    procs = [
+        _launch(RUN_SCRIPT, rank, port, {"TEST_PREFIX": prefix})
+        for rank in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, out[-4000:]
+    results = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][-1]
+        _, n_steps, conv, r1 = line.split()
+        results.append((int(n_steps), int(conv), float(r1)))
+    # synchronized stop: identical step counts, convergence flag and
+    # (pooled) R-1 on both ranks
+    assert results[0] == results[1], results
+    assert results[0][1] == 1, f"did not converge: {results}"
+    # root owns shared products; each rank wrote its own chain
+    folder = str(tmp_path / "chains")
+    files = sorted(os.listdir(folder))
+    assert any(f.endswith("mp.1.txt") for f in files), files
+    assert any(f.endswith("mp.2.txt") for f in files), files
+    assert any(f.endswith(".checkpoint") for f in files), files
+    assert any(f.endswith("mp.updated.yaml") for f in files), files
+    # rank chains hold different samples (different RNG streams) but the
+    # same total recorded weight (same synced number of steps; row counts
+    # differ through run-length encoding of rejections)
+    a = np.loadtxt(os.path.join(folder, [f for f in files
+                                         if f.endswith("mp.1.txt")][0]))
+    b = np.loadtxt(os.path.join(folder, [f for f in files
+                                         if f.endswith("mp.2.txt")][0]))
+    assert np.isclose(a[:, 0].sum(), b[:, 0].sum())
+    assert a[: min(len(a), len(b)), 2].std() > 0
+    assert not np.array_equal(a[: min(len(a), len(b)), 2],
+                              b[: min(len(a), len(b)), 2])
+
+
+ERROR_SCRIPT = r"""
+import os, sys, time
+from cobaya_tpu.parallel import state as pstate
+
+pstate.maybe_init_distributed()
+assert pstate.process_count() == 2, pstate.process_count()
+rank = pstate.process_index()
+try:
+    with pstate.ProcessState("errtest", error_timeout=30.0):
+        if rank == 1:
+            time.sleep(0.5)
+            raise RuntimeError("boom on rank 1")
+        state = pstate.get_current_state()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            state.check_error()   # peers poll during long loops
+            time.sleep(0.1)
+        print("TIMEOUT-NO-ERROR")
+        sys.exit(3)
+except pstate.OtherProcessError:
+    print("GOT-PEER-ERROR")
+    sys.exit(0)
+except RuntimeError:
+    print("RAISED-LOCALLY")
+    sys.exit(7)
+"""
+
+
+
+def test_error_propagates_across_processes():
+    port = _free_port()
+    procs = [_launch(ERROR_SCRIPT, rank, port) for rank in range(2)]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    # rank 1 raised locally; rank 0 saw the peer error and aborted
+    assert procs[1].returncode == 7, outs[1][-2000:]
+    assert "RAISED-LOCALLY" in outs[1]
+    assert procs[0].returncode == 0, outs[0][-2000:]
+    assert "GOT-PEER-ERROR" in outs[0]
