@@ -220,9 +220,27 @@ class Minimize(CovmatSampler):
             x = x_start + jnp.asarray(self._scales, jnp.float32) * y
             return x, fun(y), it
 
-        xs, fs, nits = jax.jit(jax.vmap(solve_one))(
-            jnp.asarray(x0, jnp.float32)
-        )
+        x0j = jnp.asarray(x0, jnp.float32)
+        self._mesh = None
+        if jax.local_device_count() > 1:
+            # shard the independent starts over the device mesh (pad by
+            # cycling starts so the batch divides evenly; extra duplicates
+            # are harmless — the best minimum wins)
+            from ...parallel.mesh import (
+                chain_sharding,
+                make_mesh,
+                round_up_chains,
+            )
+
+            self._mesh = make_mesh()
+            ndev = int(np.prod(self._mesh.devices.shape))
+            n_pad = round_up_chains(len(x0), ndev)
+            if n_pad > len(x0):
+                reps = np.resize(np.arange(len(x0)), n_pad)
+                x0j = x0j[jnp.asarray(reps)]
+            x0j = jax.device_put(x0j, chain_sharding(self._mesh))
+        xs, fs, nits = jax.jit(jax.vmap(solve_one))(x0j)
+        self._starts_sharding = getattr(xs, "sharding", None)
         # polish the best candidates at f64 precision on host
         xs, fs = np.asarray(xs, float), np.asarray(fs, float)
         xs2, fs2, n2 = self._run_scipy(xs, polish=True)

@@ -62,6 +62,20 @@ class Nested(Sampler):
         self._num_repeats = max(read_dnumber(self.num_repeats, self.d), 1)
         self._batch = int(self.batch_size or max(self._nlive // 8, 1))
         self._batch = min(self._batch, max(self._nlive // 2, 1))
+        # shard the live-point population over the device mesh: the batch of
+        # replacement slice chains is embarrassingly parallel, so live state
+        # is placed with a chains-axis sharding and XLA runs the jitted
+        # generation SPMD (same mechanism as the MCMC walkers)
+        self._mesh = None
+        if jax.local_device_count() > 1:
+            from ...parallel.mesh import make_mesh, round_up_chains
+
+            self._mesh = make_mesh()
+            ndev = int(np.prod(self._mesh.devices.shape))
+            self._nlive = round_up_chains(self._nlive, ndev)
+            self._batch = round_up_chains(self._batch, ndev)
+            self._batch = min(self._batch,
+                              max(self._nlive // 2, ndev))
         self._dtype = jnp.dtype(self.precision)
         # --- cube transform tables (host-built ppf knots) ---------------------
         K = 1025
@@ -341,6 +355,10 @@ class Nested(Sampler):
         key = self.next_jax_key()
         key, k0 = jax.random.split(key)
         u_live = jax.random.uniform(k0, (n, d), dtype=self._dtype)
+        if self._mesh is not None:
+            from ...parallel.mesh import chain_sharding
+
+            u_live = jax.device_put(u_live, chain_sharding(self._mesh))
         logL_live = self._loglike_batch(u_live)
         cache_live = self._init_cache(u_live)
         self._n_evals += n
@@ -424,6 +442,8 @@ class Nested(Sampler):
                     "early (likelihood plateau?)."
                 )
                 break
+        # record the live-state sharding for introspection/tests
+        self._final_live_sharding = getattr(u_live, "sharding", None)
         # final live points: each carries X_final/n
         logw_live = logX - np.log(n)
         live_logL_sorted = np.sort(logL_live_h)

@@ -35,6 +35,38 @@ def test_n_chains_rounded_to_devices():
     assert sampler.n_chains == 16  # rounded up to a multiple of 8
 
 
+def test_nested_live_points_sharded():
+    import jax
+
+    from cobaya_tpu.run import run
+    from common import random_gaussian_info
+
+    info = random_gaussian_info(dim=2, random_state=7)
+    info["sampler"] = {"nested": {
+        "seed": 2, "nlive": 64, "max_ndead": 400, "batch_size": 8,
+    }}
+    _, sampler = run(info)
+    assert sampler._mesh is not None
+    sh = sampler._final_live_sharding
+    assert sh is not None and len(sh.device_set) == 8
+    assert sh.shard_shape((sampler._nlive, sampler.d))[0] == \
+        sampler._nlive // 8
+
+
+def test_minimize_starts_sharded():
+    from cobaya_tpu.run import run
+    from common import random_gaussian_info
+
+    info = random_gaussian_info(dim=2, random_state=9)
+    info["sampler"] = {"minimize": {"seed": 3, "best_of": 4}}
+    _, sampler = run(info)
+    assert sampler._mesh is not None
+    sh = sampler._starts_sharding
+    # 4 starts padded to 8 and split one per device
+    assert sh is not None and len(sh.device_set) == 8
+    assert np.isfinite(sampler.result["fun"])
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
