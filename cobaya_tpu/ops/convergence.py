@@ -105,6 +105,78 @@ def weighted_quantile(values: np.ndarray, quantiles, weights=None):
     return out
 
 
+def cl_bounds_stats_jax(ring_x, confidence: float = 0.95):
+    """Per-epoch CL-bound statistics over ALL walkers, on device.
+
+    ``ring_x``: (M, C, d) recent thinned records per walker.  Returns the
+    sufficient statistics to pool across processes and compute the
+    reference's CL-bound R-1 (mcmc.py:918-1002): mean/variance over walkers
+    of each confidence bound, the mean per-walker quantile *sampling*
+    variance (so the pooled spread can be debiased — each walker's bound is
+    estimated from only M records, whereas the reference's chains are long
+    enough for that noise to vanish), the walker-averaged in-chain std, and
+    the walker count.
+
+    The sampling variance comes from the binomial (distribution-free)
+    order-statistic interval: ranks ``r +- s`` with ``s = sqrt(n q (1-q))``
+    span one standard deviation of the quantile estimator, so
+    ``sd_q ~ (x_(r+s) - x_(r-s)) / 2`` (rescaled when clipped at the edge).
+    """
+    import jax.numpy as jnp
+
+    n = ring_x.shape[0]
+    qs = jnp.asarray([(1 - confidence) / 2, 1 - (1 - confidence) / 2])
+    xs_sorted = jnp.sort(ring_x, axis=0)  # (M, C, d)
+    # linear-interpolation quantiles from the sorted stack
+    pos = qs * (n - 1)
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
+    frac = (pos - i0)[:, None, None]
+    bounds = (xs_sorted[i0] * (1 - frac) + xs_sorted[i0 + 1] * frac)
+    # quantile sampling sd via the binomial order-statistic interval
+    s = jnp.maximum(jnp.sqrt(n * qs * (1 - qs)), 1.0)
+    r = jnp.round(pos).astype(jnp.int32)
+    lo = jnp.clip(r - jnp.round(s).astype(jnp.int32), 0, n - 1)
+    hi = jnp.clip(r + jnp.round(s).astype(jnp.int32), 0, n - 1)
+    span = jnp.maximum((hi - lo).astype(ring_x.dtype), 1.0)
+    sd_q = (xs_sorted[hi] - xs_sorted[lo]) * (s / span)[:, None, None]
+    var_q = sd_q ** 2
+    # records may be autocorrelated (early, before the ring stride has
+    # grown): inflate the sampling variance by the AR(1) effective-sample
+    # deflation (1+rho)/(1-rho), capped to keep the statistic informative
+    mu = ring_x.mean(axis=0)
+    dx = ring_x - mu
+    denom = jnp.maximum((dx ** 2).sum(axis=0), 1e-30)
+    rho = (dx[:-1] * dx[1:]).sum(axis=0) / denom  # (C, d)
+    kappa = jnp.clip((1 + rho) / jnp.maximum(1 - rho, 1e-3), 1.0, 16.0)
+    var_q = var_q * kappa[None]
+    stds = jnp.std(ring_x, axis=0)  # (C, d)
+    return (bounds.mean(axis=1), bounds.var(axis=1), var_q.mean(axis=1),
+            stds.mean(axis=0), jnp.asarray(ring_x.shape[1], jnp.float32))
+
+
+def pool_cl_bounds_stats(per_proc) -> float:
+    """Combine per-process CL-bound statistics into the global R-1.
+
+    Each entry: (mean_bounds (2, d), var_bounds (2, d), var_q (2, d),
+    mean_std (d,), count).  The pooled across-walker variance adds the
+    between-process spread of the bound means and subtracts the pooled
+    per-walker quantile sampling variance (debias, see
+    :func:`cl_bounds_stats_jax`).
+    """
+    ws = np.array([float(p[4]) for p in per_proc])
+    w = ws / max(ws.sum(), 1e-30)
+    mean_b = sum(wi * np.asarray(p[0]) for wi, p in zip(w, per_proc))
+    var_b = sum(
+        wi * (np.asarray(p[1]) + (np.asarray(p[0]) - mean_b) ** 2)
+        for wi, p in zip(w, per_proc)
+    )
+    var_q = sum(wi * np.asarray(p[2]) for wi, p in zip(w, per_proc))
+    mean_std = sum(wi * np.asarray(p[3]) for wi, p in zip(w, per_proc))
+    var_adj = np.maximum(var_b - var_q, 0.0)
+    rminus1 = np.sqrt(var_adj) / np.maximum(mean_std, 1e-300)
+    return float(rminus1.max())
+
+
 def rminus1_cl_bounds(
     samples_per_chain: np.ndarray,
     weights_per_chain: np.ndarray | None,

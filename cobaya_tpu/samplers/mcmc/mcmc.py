@@ -98,6 +98,7 @@ class MCMC(CovmatSampler):
     callback_every: Optional[int]
     n_chains: int
     records_per_epoch: int
+    cl_bounds_records: int
     output_chains: int
     fetch_chains: Optional[int]
     pipeline_epochs: bool
@@ -217,6 +218,25 @@ class MCMC(CovmatSampler):
         self._stats_fn = jax.jit(epoch_stats)
         self._n_fetch = min(self.fetch_chains or self.n_chains,
                             self.n_chains)
+        # device-side ring of recent records: CL-bound quantiles over ALL
+        # walkers on device (the host only sees 3 small vectors), replacing
+        # the reference's host-side getdist intervals (mcmc.py:918-1002)
+        self._ring = None
+        self._ring_len = 0
+        self._ring_stride = 1
+        self._rec_seen = 0
+        if self.cl_bounds_records:
+            from ...ops.convergence import cl_bounds_stats_jax
+
+            M = int(self.cl_bounds_records)
+            self._ring_update = jax.jit(
+                lambda ring, new: jnp.concatenate([ring, new], axis=0)[-M:]
+            )
+            self._cl_stats_fn = jax.jit(
+                lambda ring: cl_bounds_stats_jax(
+                    ring, confidence=self.Rminus1_cl_level
+                )
+            )
         import os as _os
 
         self._timing_epochs = bool(_os.environ.get("COBAYA_TPU_TIMING"))
@@ -428,6 +448,10 @@ class MCMC(CovmatSampler):
         if self._burn_in:
             self._carry = reset_moments(self._carry)
             self._win_steps = [0, 0]
+            self._ring = None
+            self._ring_len = 0
+            self._ring_stride = 1
+            self._rec_seen = 0
         # pipelined epochs: the next epoch is dispatched before the
         # previous one's statistics reach the host, hiding the host link
         # round-trip behind device compute.  Proposal/reset updates then
@@ -509,6 +533,8 @@ class MCMC(CovmatSampler):
         )
         self._carry = carry
         self._win_steps = [w + total for w in self._win_steps]
+        if record and self.cl_bounds_records:
+            self._ring_append(recs.x, thin)
         nf = self._n_fetch
         fetch_recs = jax.tree.map(lambda a: a[:, :nf], recs) if record \
             else None
@@ -693,8 +719,63 @@ class MCMC(CovmatSampler):
             "Rminus1_cl": float(self.Rminus1_cl_last),
         })
 
+    def _ring_append(self, rx, thin: int):
+        """Striding device ring: M records spanning ~ the recent half.
+
+        The reference recomputes CL bounds on the literal second half of
+        each chain (mcmc.py:918-1002); a fixed-size ring whose stride
+        doubles whenever its span falls behind n_steps/2 keeps the same
+        window with O(M C d) device memory and no chain storage.
+        """
+        import jax.numpy as jnp
+
+        M = int(self.cl_bounds_records)
+        n_rec = rx.shape[0]
+        s = self._ring_stride
+        # global record indices divisible by the stride get accepted
+        start = (-self._rec_seen) % s
+        idx = np.arange(start, n_rec, s)
+        self._rec_seen += n_rec
+        if idx.size:
+            sel = rx[jnp.asarray(idx)] if idx.size < n_rec else rx
+            if self._ring is None:
+                self._ring = sel[-M:]
+                self._ring_len = min(idx.size, M)
+            else:
+                self._ring = self._ring_update(self._ring, sel)
+                self._ring_len = min(self._ring_len + idx.size, M)
+        # double the stride once the full ring spans less than half the run
+        while (self._ring_len >= M
+               and self.n_steps // 2 > M * self._ring_stride * thin):
+            self._ring = self._ring[::2]
+            self._ring_len = self._ring.shape[0]
+            self._ring_stride *= 2
+
     def _check_cl_bounds(self) -> float:
-        """Secondary R-1: spread of CL bounds across walkers (on records)."""
+        """Secondary R-1: spread of CL bounds across walkers.
+
+        Primary path: quantiles over the device-side record ring, computed
+        for ALL walkers on device; the host receives three small vectors
+        per process and pools them (exactly) across processes.  Falls back
+        to host quantiles over the fetched record subsample when the ring
+        is disabled or empty (e.g. right after resume).
+        """
+        from ...parallel import state as pstate
+
+        if self.cl_bounds_records and self._ring is not None \
+                and self._ring_len >= 4:
+            import jax
+
+            from ...ops.convergence import pool_cl_bounds_stats
+
+            local = jax.device_get(self._cl_stats_fn(self._ring))
+            per_proc = (pstate.allgather(local, tag="cl-bounds")
+                        if pstate.more_than_one_process() else [local])
+            return pool_cl_bounds_stats(per_proc)
+        return self._check_cl_bounds_host()
+
+    def _check_cl_bounds_host(self) -> float:
+        """Host fallback: quantiles over the fetched record subsample."""
         n_ep = len(self._records)
         if n_ep == 0:
             return np.inf

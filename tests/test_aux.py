@@ -249,3 +249,44 @@ def test_filelock_blocks_live_and_takes_over_stale(tmp_path):
     lock3 = FileLock(base)
     lock3.acquire()
     lock3.release()
+
+
+def test_device_cl_bounds_statistic():
+    """Device ring CL-bound R-1: debiased spread, host parity, pooling."""
+    import jax
+    import numpy as np
+
+    from cobaya_tpu.ops.convergence import (
+        cl_bounds_stats_jax,
+        pool_cl_bounds_stats,
+        rminus1_cl_bounds,
+    )
+
+    rng = np.random.default_rng(0)
+    M, C, d = 128, 512, 3
+    # identically-distributed walkers: the true bound spread is ZERO; the
+    # debiased statistic must be far below the raw quantile-noise floor
+    ring = rng.normal(size=(M, C, d))
+    dev = jax.device_get(jax.jit(cl_bounds_stats_jax)(ring))
+    r_dev = pool_cl_bounds_stats([dev])
+    r_raw = rminus1_cl_bounds(
+        np.swapaxes(ring, 0, 1), None, confidence=0.95
+    ).max()
+    assert r_raw > 0.15  # the floor the debias removes
+    assert r_dev < 0.6 * r_raw, (r_dev, r_raw)
+
+    # genuinely spread walkers: both statistics see the real signal
+    shift = 1.0 * rng.standard_normal((1, C, 1))
+    ring2 = ring + shift
+    dev2 = jax.device_get(jax.jit(cl_bounds_stats_jax)(ring2))
+    r_dev2 = pool_cl_bounds_stats([dev2])
+    r_raw2 = rminus1_cl_bounds(
+        np.swapaxes(ring2, 0, 1), None, confidence=0.95
+    ).max()
+    assert np.isclose(r_dev2, r_raw2, rtol=0.1), (r_dev2, r_raw2)
+
+    # pooling two halves of the walker population == pooling all at once
+    half1 = jax.device_get(jax.jit(cl_bounds_stats_jax)(ring2[:, :256]))
+    half2 = jax.device_get(jax.jit(cl_bounds_stats_jax)(ring2[:, 256:]))
+    r_pooled = pool_cl_bounds_stats([half1, half2])
+    assert np.isclose(r_pooled, r_dev2, rtol=1e-5), (r_pooled, r_dev2)
