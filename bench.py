@@ -99,29 +99,19 @@ def multichain_ess(records, burn_frac=0.5):
     return ess, tau
 
 
-def main():
-    import argparse
-
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--n-chains", type=int, default=16384)
-    parser.add_argument("--dim", type=int, default=50)
-    parser.add_argument(
-        "--sampler", default="hmc", choices=["mcmc", "hmc"],
-        help="hmc (default): gradient-based kernel, exploits the jitted "
-             "posterior; mcmc: the reference's Metropolis algorithm for "
-             "apples-to-apples comparison")
-    ns = parser.parse_args()
-    t_setup = time.time()
+def run_one(kind: str, dim: int, n_chains: int,
+            validate_walkers: int = 512) -> dict:
+    """Run one sampler to convergence; return a labeled result row."""
     import jax
 
     from cobaya_tpu.models.model import get_model
     from cobaya_tpu.samplers.sampler import get_sampler
 
-    info, cov = build_info(dim=ns.dim, n_chains=ns.n_chains)
-    if ns.sampler == "hmc":
+    t_setup = time.time()
+    info, cov = build_info(dim=dim, n_chains=n_chains)
+    if kind == "hmc":
         opts = info["sampler"].pop("mcmc")
-        for k in ("oversample_power",):
-            opts.pop(k, None)
+        opts.pop("oversample_power", None)
         # HMC records are fully decorrelated at much denser thinning
         # (tau(rec) ~ 1 at 1/31 retention), so retain more of them
         opts.update({"leapfrog_steps": 12, "records_per_epoch": 512})
@@ -144,25 +134,69 @@ def main():
     ess = ess_sub * sampler.n_chains / n_fetched
     # ESS accrues over the post-burn half of the run
     ess_per_s = ess / (t_run / 2)
-    vs = ess_per_s / REFERENCE_ESS_PER_S
-    result = {
-        "metric": "ESS/sec, 50-D correlated Gaussian adaptive MCMC to R-1<0.01",
+    # validate the subsample extrapolation: fetch one post-convergence
+    # epoch for a much larger walker sample and compare autocorrelation
+    # times (outside the timed region)
+    tau_wide = None
+    try:
+        sampler._n_fetch = min(validate_walkers, sampler.n_chains)
+        sampler._run_epoch(sampler._learn_every)
+        tau_wide = multichain_ess([sampler._records[-1]], burn_frac=0)[1]
+    except Exception as exc:  # diagnostics only; never fail the bench
+        print(f"[bench] extrapolation check failed: {exc}", file=sys.stderr)
+    algo = ("HMC kernel (gradient-based)" if kind == "hmc"
+            else "adaptive blocked Metropolis (reference algorithm)")
+    row = {
+        "metric": (f"ESS/sec, {dim}-D correlated Gaussian, {algo}, "
+                   "to R-1<0.01"),
         "value": round(ess_per_s, 2),
         "unit": "effective samples/s",
-        "vs_baseline": round(vs, 2),
+        "vs_baseline": round(ess_per_s / REFERENCE_ESS_PER_S, 2),
+        "sampler": kind,
+        "tau_records_subsample": round(tau, 3),
+        "tau_records_wide": (round(tau_wide, 3)
+                             if tau_wide is not None else None),
     }
-    print(json.dumps(result))
-    # extra diagnostics to stderr (driver reads only the stdout JSON line)
     print(
-        f"[bench] devices={n_dev} setup+compile={t_compile:.1f}s "
+        f"[bench] {kind}: devices={n_dev} setup+compile={t_compile:.1f}s "
         f"wall={t_run:.1f}s steps/walker="
         f"{sampler.n_steps} evals={sampler.n_steps * sampler.n_chains} "
         f"evals/s={sampler.n_steps * sampler.n_chains / t_run:.3g} "
         f"R-1={sampler.Rminus1_last:.4g} ESS={ess:.0f} tau(rec)={tau:.2f} "
+        f"tau(rec,{validate_walkers}w)={tau_wide} "
         f"converged={sampler.converged} "
         f"baseline_ess/s={REFERENCE_ESS_PER_S}",
         file=sys.stderr,
     )
+    del sampler, model
+    return row
+
+
+def main():
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n-chains", type=int, default=16384)
+    parser.add_argument("--dim", type=int, default=50)
+    parser.add_argument(
+        "--sampler", default="both", choices=["mcmc", "hmc", "both"],
+        help="mcmc: the reference's Metropolis algorithm (apples-to-apples);"
+             " hmc: gradient-based kernel exploiting the jitted posterior;"
+             " both (default): run the two and report both rows")
+    ns = parser.parse_args()
+    kinds = ["mcmc", "hmc"] if ns.sampler == "both" else [ns.sampler]
+    rows = [run_one(k, ns.dim, ns.n_chains) for k in kinds]
+    # ONE JSON line for the driver: the headline is the fastest row (HMC),
+    # honestly labeled; the same-algorithm MCMC row rides along in "rows"
+    head = max(rows, key=lambda r: r["value"])
+    result = {
+        "metric": head["metric"],
+        "value": head["value"],
+        "unit": head["unit"],
+        "vs_baseline": head["vs_baseline"],
+        "rows": rows,
+    }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
