@@ -11,7 +11,10 @@ TPU-first design: storage is a growable numpy array appended in whole-epoch
 batches (the device flushes thinned sample buffers once per epoch), not a
 pandas DataFrame written row-by-row.  Consecutive identical points are
 run-length-encoded into weights at append time, reproducing the reference's
-accepted-point + weight chain format exactly when thin == 1.
+accepted-point + weight chain format exactly when thin == 1 — which the
+MCMC sampler's ``output_format: accepted`` mode guarantees by recording
+every step; the default ``thinned`` mode stores snapshot records with
+weight = thinning instead.
 """
 
 from __future__ import annotations
@@ -201,6 +204,14 @@ class SampleCollection(BaseCollection):
             counts = np.diff(np.append(idx, n))
             rows = rows[idx]
             rows[:, 0] = rows[:, 0] * 0 + counts * weights[idx]
+        if rle and self._n > self._n_flushed and len(rows):
+            # merge across append boundaries: a rejection streak spanning
+            # two epochs must still be one row (reference repeat-weights);
+            # only possible while the newest row is not yet on disk
+            sl = slice(2, 2 + len(self.sampled_params))
+            if np.array_equal(rows[0, sl], self.data[self._n - 1, sl]):
+                self.data[self._n - 1, 0] += rows[0, 0]
+                rows = rows[1:]
         self.append_rows(rows)
 
     # ---- statistics ------------------------------------------------------------
@@ -354,11 +365,17 @@ class SampleCollection(BaseCollection):
             lines.append(" ".join(_OUT_FMT % v for v in row))
         return "\n".join(lines) + ("\n" if len(lines) else "")
 
-    def out_update(self):
-        """Flush new rows to the chain file (append-only)."""
+    def out_update(self, final: bool = True):
+        """Flush new rows to the chain file (append-only).
+
+        With ``final=False`` (incremental per-epoch flushing) the newest
+        row is held back: the next epoch's append may still merge into it
+        (cross-boundary repeat-weight run-length encoding).
+        """
         if not self._file_name:
             return
-        new = self.data[self._n_flushed:]
+        upto = self._n if final else max(self._n - 1, self._n_flushed)
+        new = self.data[self._n_flushed:upto]
         if not len(new):
             return
         mode = "a" if self._n_flushed else "w"
@@ -366,7 +383,7 @@ class SampleCollection(BaseCollection):
             if mode == "w":
                 f.write(self._header())
             f.write(self.format_rows(new))
-        self._n_flushed = self._n
+        self._n_flushed = upto
 
     def _load_file(self, file_name: str):
         from ..utils.tools import truncate_to_end_line

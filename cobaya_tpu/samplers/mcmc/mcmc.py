@@ -99,6 +99,7 @@ class MCMC(CovmatSampler):
     n_chains: int
     records_per_epoch: int
     cl_bounds_records: int
+    output_format: str
     output_chains: int
     fetch_chains: Optional[int]
     pipeline_epochs: bool
@@ -163,6 +164,29 @@ class MCMC(CovmatSampler):
         self._block_indices = [
             [sampled.index(p) for p in block] for block in blocks
         ]
+        # oversample_thin: records are spaced at least the average
+        # per-parameter oversampling apart, so oversampled fast moves do
+        # not balloon the stored output (reference mcmc.py:377-389)
+        self._output_thin = 1
+        if self.oversample_thin and np.max(self._oversampling) > 1:
+            self._output_thin = max(1, int(np.round(
+                sum(len(b) * o for b, o in
+                    zip(blocks, self._oversampling)) / self.d
+            )))
+        if self.output_format not in ("thinned", "accepted"):
+            raise LoggedError(
+                self.log, "output_format must be 'thinned' or 'accepted', "
+                "not %r", self.output_format,
+            )
+        if self.output_format == "accepted":
+            # reference-exact chains: one row per accepted point with its
+            # repeat count as weight — requires recording EVERY step
+            # (records_per_epoch is ignored; memory scales with
+            # learn_every * n_chains * d)
+            self.mpi_info(
+                "output_format=accepted: recording every step for exact "
+                "accepted-point/repeat-weight chain files."
+            )
         if self.drag and len(blocks) < 2:
             self.mpi_warning("Dragging requested but there is only one "
                              "block; disabling.")
@@ -403,7 +427,10 @@ class MCMC(CovmatSampler):
                             self._dtype),)
 
     def _epoch_shape(self, n_steps: int):
-        thin = max(1, int(np.ceil(n_steps / self.records_per_epoch)))
+        if self.output_format == "accepted":
+            return n_steps, 1
+        thin = max(1, int(np.ceil(n_steps / self.records_per_epoch)),
+                   self._output_thin)
         n_rec = max(1, n_steps // thin)
         return n_rec, thin
 
@@ -856,7 +883,7 @@ class MCMC(CovmatSampler):
 
     def _flush_output(self, final: bool = False):
         for coll in self._collections:
-            coll.out_update()
+            coll.out_update(final=final)
 
     def _try_resume(self):
         import os

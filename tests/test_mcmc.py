@@ -271,3 +271,51 @@ def test_initial_covmat_inheritance(tmp_path):
                      "measure_speeds": False, "seed": 0}, model, output=None)
     assert np.allclose(np.diag(sampler2._proposal.covmat), np.diag(got),
                        rtol=1e-6)
+
+
+def test_output_format_accepted(tmp_path):
+    """Reference-exact chains: one row per accepted point, weight = repeats
+    (reference collection.py:383-386 semantics beyond thin == 1)."""
+    info = random_gaussian_info(dim=2, random_state=13)
+    info["sampler"] = {"mcmc": {
+        "seed": 9, "n_chains": 8, "max_samples": 400, "learn_every": 100,
+        "Rminus1_stop": 1e-6, "burn_in": 0, "measure_speeds": False,
+        "output_format": "accepted", "output_chains": 2,
+    }}
+    info["output"] = str(tmp_path / "acc")
+    _, sampler = run(info)
+    chain = np.loadtxt(tmp_path / "acc.1.txt")
+    weights = chain[:, 0]
+    # integer repeat counts summing to the total number of steps
+    assert np.allclose(weights, np.round(weights))
+    assert weights.sum() == sampler.n_steps
+    # consecutive rows are distinct accepted points
+    xs = chain[:, 2:4]
+    assert not np.any(np.all(xs[1:] == xs[:-1], axis=1))
+
+
+def test_oversample_thin_spacing():
+    """oversample_thin spaces records by the mean per-parameter
+    oversampling (reference mcmc.py:377-389)."""
+    from tests.test_speeds import _make_info
+
+    for flag, expect_min in ((True, 2), (False, 1)):
+        info, _ = _make_info(oversample_power=1.0, n_chains=8,
+                             max_samples=200)
+        info["sampler"]["mcmc"].update({
+            "records_per_epoch": 100000, "oversample_thin": flag,
+            "learn_every": 100,
+        })
+        _, sampler = run(info)
+        assert max(sampler._oversampling) > 1
+        expected = max(1, int(np.round(
+            sum(len(b) * o for b, o in zip(sampler._blocks,
+                                           sampler._oversampling))
+            / sampler.d
+        ))) if flag else 1
+        assert sampler._output_thin == expected
+        thins = {r["thin"] for r in sampler._records}
+        if flag:
+            assert thins == {expected} and expected >= expect_min
+        else:
+            assert thins == {1}
