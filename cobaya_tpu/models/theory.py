@@ -406,10 +406,18 @@ class Provider:
             raise LoggedError(None, "No provider for requirement '%s'", name)
         return provider.get_result(name, **kwargs)
 
+    # requirements that share a provider (requesting either yields both)
+    _REQ_ALIASES = {"Pk_interpolator": "Pk_grid",
+                    "Pk_grid": "Pk_interpolator"}
+
     def __getattr__(self, name: str):
         if name.startswith("get_"):
             requirement = name[4:]
             provider = self.requirement_providers.get(requirement)
+            if provider is None:
+                alias = self._REQ_ALIASES.get(requirement)
+                if alias:
+                    provider = self.requirement_providers.get(alias)
             if provider is not None:
                 return getattr(provider, name)
         raise AttributeError(name)

@@ -64,25 +64,46 @@ class classy(BoltzmannBase):
         ]
 
     def get_can_provide_params(self):
-        return ["H0", "Omega_m", "sigma8", "YHe", "z_reio", "age",
-                "rs_drag", "theta_s_100"]
+        return ["H0", "h", "Omega_m", "omegam", "Omega_nu", "sigma8",
+                "YHe", "z_reio", "age", "rdrag", "rs_drag", "tau_reio",
+                "theta_s_100"]
 
     def _set_args(self, params_values) -> dict:
         args = {self.translate_param(p): v for p, v in params_values.items()}
         args.update(self.extra_args or {})
         output = set(str(args.get("output", "")).split())
         mp = self._must_provide
+        lmaxes = [max(mp[k].values()) for k in ("Cl", "unlensed_Cl")
+                  if k in mp]
         if "Cl" in mp:
             output.update(["tCl", "pCl", "lCl"])
             args["lensing"] = "yes"
-            args["l_max_scalars"] = max(mp["Cl"].values())
-        if mp.get("Pk_interpolator") is not None or \
-                mp.get("Pk_grid") is not None:
+        if "unlensed_Cl" in mp:
+            output.update(["tCl", "pCl"])
+        if lmaxes:
+            args["l_max_scalars"] = max(lmaxes)
+        z_pk = []
+        pk_spec = mp.get("Pk_interpolator") or mp.get("Pk_grid")
+        if pk_spec is not None:
             output.add("mPk")
-            spec = mp.get("Pk_interpolator") or mp.get("Pk_grid")
-            args["P_k_max_h/Mpc"] = spec.get("k_max", 2.0)
-            args["z_max_pk"] = float(np.max(np.atleast_1d(
-                spec.get("z", [0.0]))))
+            args["P_k_max_h/Mpc"] = pk_spec.get("k_max", 2.0)
+            z_pk += list(np.atleast_1d(pk_spec.get("z", [0.0])))
+            pairs = {tuple(p) for p in (pk_spec.get("vars_pairs") or [])}
+            if ("Weyl", "Weyl") in pairs:
+                output.add("mTk")
+        if "sigma_R" in mp:
+            output.add("mPk")
+            args["P_k_max_h/Mpc"] = max(
+                args.get("P_k_max_h/Mpc", 0), mp["sigma_R"].get("k_max", 2.0)
+            )
+            z_pk += list(np.atleast_1d(mp["sigma_R"].get("z", [0.0])))
+        for req in ("fsigma8", "sigma8_z"):
+            if req in mp:
+                output.add("mPk")
+                args.setdefault("P_k_max_h/Mpc", 2.0)
+                z_pk += list(np.atleast_1d(mp[req]["z"]))
+        if z_pk:
+            args["z_max_pk"] = float(np.max(z_pk))
         if output:
             args["output"] = " ".join(sorted(output))
         return args
@@ -105,16 +126,35 @@ class classy(BoltzmannBase):
             cls = self.classy.lensed_cl(lmax)
             state["Cl"] = {k: np.asarray(v) for k, v in cls.items()}
             state["T_cmb"] = float(self.classy.T_cmb())
+        if "unlensed_Cl" in mp:
+            lmax = max(mp["unlensed_Cl"].values())
+            cls = self.classy.raw_cl(lmax)
+            state["unlensed_Cl"] = {k: np.asarray(v) for k, v in cls.items()}
+            state.setdefault("T_cmb", float(self.classy.T_cmb()))
         if "Hubble" in mp:
             z = mp["Hubble"]["z"]
             state["Hubble"] = np.array(
                 [self.classy.Hubble(zi) for zi in z]
             ) * 299792.458  # 1/Mpc -> km/s/Mpc
+        # background density fractions (reference classy.py:384-392)
+        for req, fname in (("Omega_b", "Om_b"), ("Omega_cdm", "Om_cdm"),
+                           ("Omega_nu_massive", "Om_ncdm")):
+            if req in mp:
+                func = getattr(self.classy, fname)
+                state[req] = np.array(
+                    [func(zi) for zi in mp[req]["z"]]
+                )
         if "angular_diameter_distance" in mp:
             z = mp["angular_diameter_distance"]["z"]
             state["angular_diameter_distance"] = np.array(
                 [self.classy.angular_distance(zi) for zi in z]
             )
+        if "angular_diameter_distance_2" in mp:
+            pairs = mp["angular_diameter_distance_2"]["z_pairs"]
+            state["angular_diameter_distance_2"] = np.array([
+                self.classy.angular_distance_from_to(z1, z2)
+                for z1, z2 in pairs
+            ])
         if "comoving_radial_distance" in mp:
             z = mp["comoving_radial_distance"]["z"]
             state["comoving_radial_distance"] = np.array(
@@ -122,10 +162,43 @@ class classy(BoltzmannBase):
             )
         if "fsigma8" in mp:
             z = mp["fsigma8"]["z"]
-            state["fsigma8"] = np.array(
-                [self.classy.scale_independent_growth_factor_f(zi)
-                 * self.classy.sigma(8.0 / self.classy.h(), zi) for zi in z]
+            # reference uses CLASS's effective_f_sigma8 when available
+            # (classy.py:471-482); fall back to f * sigma8(z)
+            if hasattr(self.classy, "effective_f_sigma8"):
+                state["fsigma8"] = np.array(
+                    [self.classy.effective_f_sigma8(zi, 0.1) for zi in z]
+                )
+            else:
+                state["fsigma8"] = np.array(
+                    [self.classy.scale_independent_growth_factor_f(zi)
+                     * self.classy.sigma(8.0 / self.classy.h(), zi)
+                     for zi in z]
+                )
+        if "sigma8_z" in mp:
+            z = mp["sigma8_z"]["z"]
+            state["sigma8_z"] = np.array(
+                [self.classy.sigma(8.0 / self.classy.h(), zi) for zi in z]
             )
+        if "sigma_R" in mp:
+            # sigma(R, z) tables per var pair (reference classy.py:483-510)
+            from ..cosmo.boltzmannbase import _norm_pairs
+
+            spec = mp["sigma_R"]
+            z = np.atleast_1d(spec.get("z", [0.0]))
+            R = np.atleast_1d(spec.get("R", np.linspace(8, 100, 10)))
+            methods = {("delta_tot", "delta_tot"): "sigma",
+                       ("delta_nonu", "delta_nonu"): "sigma_cb"}
+            for pair in _norm_pairs(spec.get("vars_pairs")):
+                fname = methods.get(tuple(pair))
+                if fname is None or not hasattr(self.classy, fname):
+                    raise LoggedError(
+                        self.log, "sigma(R, z) not implemented for %r", pair
+                    )
+                func = getattr(self.classy, fname)
+                sigma = np.array([
+                    [func(Ri, zi) for Ri in R] for zi in z
+                ])
+                state[("sigma_R",) + tuple(pair)] = (z, R, sigma)
         for req in ("Pk_interpolator", "Pk_grid"):
             spec = mp.get(req)
             if spec is None:
@@ -135,22 +208,91 @@ class classy(BoltzmannBase):
             z = np.atleast_1d(spec.get("z", [0.0]))
             k = np.logspace(-4, np.log10(spec.get("k_max", 2.0)), 200)
             for pair in _norm_pairs(spec.get("vars_pairs")):
-                pk = np.array([
-                    [self.classy.pk(ki * self.classy.h(), zi)
-                     * self.classy.h() ** 3 for ki in k]
-                    for zi in z
-                ])
+                pk = self._pk_table(tuple(pair), z, k)
                 for nonlinear in (True, False):
                     state[("Pk_grid", nonlinear) + tuple(pair)] = (z, k, pk)
+        # direct CLASS results (reference classy.py:511-520)
+        for req in ("CLASS_background", "CLASS_thermodynamics",
+                    "CLASS_primordial", "CLASS_perturbations",
+                    "CLASS_sources"):
+            if req in mp.get("derived_params", ()) or req in mp:
+                getter = getattr(
+                    self.classy, "get_" + req[len("CLASS_"):].lower(), None
+                )
+                if getter is not None:
+                    state[req] = getter()
         if want_derived:
-            derived = {}
-            dp = self.classy.get_current_derived_parameters(
-                [self.translate_param(p) for p in self.output_params]
-            ) if self.output_params else {}
-            for p in self.output_params:
-                derived[p] = dp.get(self.translate_param(p), np.nan)
-            state["derived"] = derived
+            state["derived"] = self._get_derived()
         return True
+
+    def _pk_table(self, pair, z, k):
+        """P(k) table (nz, nk), k in h/Mpc, P in (Mpc/h)^3."""
+        h = self.classy.h()
+        if pair == ("Weyl", "Weyl") and hasattr(
+            self.classy, "get_Weyl_pk_and_k_and_z"
+        ):
+            P, kk, zz = self.classy.get_Weyl_pk_and_k_and_z()
+            # interpolate onto the requested grids
+            from scipy.interpolate import RectBivariateSpline
+
+            sp = RectBivariateSpline(
+                np.asarray(zz)[::-1], np.log(np.asarray(kk)),
+                np.log(np.asarray(P).T[::-1]),
+            )
+            return np.exp(sp(z, np.log(k * h)))
+        if pair == ("delta_nonu", "delta_nonu") and hasattr(
+            self.classy, "pk_cb"
+        ):
+            return np.array([
+                [self.classy.pk_cb(ki * h, zi) * h ** 3 for ki in k]
+                for zi in z
+            ])
+        return np.array([
+            [self.classy.pk(ki * h, zi) * h ** 3 for ki in k]
+            for zi in z
+        ])
+
+    def _get_derived(self) -> dict:
+        """Derived params incl. requirement-negotiated ones
+        (reference classy.py:775-808)."""
+        wanted = set(self.output_params or ()) | {
+            p for p in self._must_provide.get("derived_params", ())
+            if not p.startswith("CLASS_")
+        }
+        derived = {}
+        if not wanted:
+            return derived
+        translated = {p: self.translate_param(p) for p in wanted}
+        specials = {
+            "Omega_nu": lambda: self.classy.Omega_nu,
+            "Omega_m": lambda: self.classy.Omega_m(),
+            "omegam": lambda: self.classy.Omega_m(),
+            "H0": lambda: self.classy.h() * 100,
+            "h": lambda: self.classy.h(),
+            "sigma8": lambda: self.classy.sigma8(),
+            "rdrag": lambda: self.classy.rs_drag(),
+            "rs_drag": lambda: self.classy.rs_drag(),
+            "tau_reio": lambda: self.classy.tau_reio(),
+            "theta_s_100": lambda: self.classy.theta_s_100(),
+        }
+        try:
+            dp = self.classy.get_current_derived_parameters(
+                sorted({t for t in translated.values()
+                        if t not in specials})
+            )
+        except Exception:
+            dp = {}
+        for p, t in translated.items():
+            if t in dp:
+                derived[p] = dp[t]
+            elif t in specials:
+                try:
+                    derived[p] = specials[t]()
+                except Exception:
+                    derived[p] = np.nan
+            else:
+                derived[p] = np.nan
+        return derived
 
     # get_Cl inherited from BoltzmannBase (raw Cl in the state)
     def _T_cmb_of_state(self, state: dict) -> float:
