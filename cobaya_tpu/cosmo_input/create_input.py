@@ -51,9 +51,13 @@ def create_input(get_comments: bool = False, preset: str | None = None,
                 )
             block = theory_info[theory_requested]
             if block:
-                merged["theory"][theory_requested] = recursive_update(
-                    merged["theory"][theory_requested] or {}, block
-                )
+                block = dict(block)
+                # per-theory sampled/derived params live at the top level
+                merged["params"].update(block.pop("params", {}))
+                if block:
+                    merged["theory"][theory_requested] = recursive_update(
+                        merged["theory"][theory_requested] or {}, block
+                    )
         merged["params"].update(info.pop("params", {}))
         merged["likelihood"].update(info.pop("likelihood", {}))
         merged = recursive_update(merged, info)

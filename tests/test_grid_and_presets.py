@@ -10,13 +10,84 @@ from cobaya_tpu.grid_tools import create_grid, grid_status, run_grid
 
 
 def test_create_input_preset():
-    info = create_input(preset="planck_2018_camb")
+    info = create_input(preset="planck_2018_lite_camb")
     assert "camb" in info["theory"]
     assert "logA" in info["params"]
     assert info["params"]["As"]["value"].startswith("lambda logA")
     assert "planck_2018_highl_plik.TTTEEE_lite" in info["likelihood"]
     # theta parameterization
     assert "theta_MC_100" in info["params"]
+    # reference-faithful baseline preset uses the full plik likelihood
+    # and the recommended fast-dragging sampler
+    info = create_input(preset="planck_2018_camb")
+    assert "planck_2018_highl_plik.TTTEEE" in info["likelihood"]
+    assert "planck_2018_lensing.clik" in info["likelihood"]
+    assert info["sampler"]["mcmc"]["drag"] is True
+    # common CMB derived params are attached
+    for derived in ("sigma8", "s8omegamp5", "clamp", "rdrag"):
+        assert derived in info["params"]
+
+
+def test_preset_catalog_parity():
+    """Model/dataset catalog covers the reference's preset vocabulary.
+
+    Mirrors /root/reference/cobaya/cosmo_input/input_database.py: every
+    block family, likelihood combo, and named preset the reference's
+    cosmo-generator offers must exist here (plus our native extras).
+    """
+    from cobaya_tpu.cosmo_input import input_database as db
+
+    assert {"SFSR", "SFSR_DESpriors", "SFSR_lenspriors", "SFSR_run",
+            "SFSR_runrun", "SFSR_t", "SFSR_t_nrun"} <= set(db.primordial)
+    assert {"flat", "omegak"} <= set(db.geometry)
+    assert {"H", "H_DESpriors", "sound_horizon_last_scattering",
+            "sound_horizon_lensonly"} <= set(db.hubble)
+    assert {"omegab_h2, omegac_h2", "Omegab, Omegam",
+            "omegab_h2_lenspriors"} <= set(db.matter)
+    assert {"one_heavy_planck", "varying_mnu", "varying_Neff",
+            "varying_mnu_Neff"} <= set(db.neutrinos)
+    assert {"lambda", "de_w", "de_w_wa"} <= set(db.dark_energy)
+    assert {"consistency", "YHe_des_y1", "YHe"} <= set(db.bbn)
+    assert {"std", "gauss_prior", "irrelevant"} <= set(db.reionization)
+    assert {"planck_NPIPE_CamSpec", "planck_NPIPE_Hillipop", "planck_2018",
+            "planck_2018_bk18",
+            "planck_2018_CMBmarged_lensing"} <= set(db.like_cmb)
+    assert {"BAO_desi_dr2", "BAO_desi_2024", "BAO_planck_2018",
+            "BAO_planck_latest"} <= set(db.like_bao)
+    assert {"des_y1_clustering", "des_y1_galaxy_galaxy", "des_y1_shear",
+            "des_y1_joint"} <= set(db.like_des)
+    assert {"PantheonPlus", "Union3", "DESY5", "DESDovekie",
+            "Pantheon"} <= set(db.like_sn)
+    assert {"Riess2018a", "Riess201903", "Riess2020", "Freedman2020",
+            "Riess2020Mb"} <= set(db.like_H0)
+    reference_presets = {
+        "planck_NPIPE_CamSpec_camb", "planck_NPIPE_CamSpec_classy",
+        "planck_NPIPE_Hillipop_camb", "planck_NPIPE_Hillipop_classy",
+        "planck_2018_camb", "planck_2018_classy",
+        "planck_2018_bicep_camb", "planck_2018_bicep_classy",
+        "planck_2018_BAO_camb", "planck_2018_BAO_classy",
+        "planck_BAO_latest_camb", "planck_BAO_latest_classy",
+        "planck_2018_BAO_SN_camb", "planck_2018_BAO_SN_classy",
+        "planck_2018_DES_BAO_SN_camb", "planck_2018_DES_BAO_SN_classy",
+        "planck_2018_lensonly_camb", "planck_2018_DES_lensingonly_camb",
+        "planck_2018_DES_lensingonly_classy",
+    }
+    assert reference_presets <= set(db.preset)
+    # every preset (except the empty one) composes without error
+    for name in db.preset:
+        if name == db.none:
+            continue
+        info = create_input(preset=name)
+        assert info.get("likelihood"), name
+        assert "params" in info, name
+
+
+def test_create_input_per_theory_params():
+    """theta_s parameterization comes from the classy sub-block."""
+    info = create_input(preset="planck_2018_classy")
+    assert "theta_s_100" in info["params"]
+    assert "theta_MC_100" not in info["params"]
+    assert "classy" in info["theory"]
 
 
 def test_create_input_fields():
