@@ -18,10 +18,16 @@ def _commands():
         grid_cleanup_script,
         grid_copy_script,
         grid_extract_script,
+        grid_getdist_script,
         grid_list_script,
         running_jobs_script,
     )
-    from .grid_tools.gridtables import grid_converge_script, grid_tables_script
+    from .grid_tools.gridtables import (
+        grid_converge_script,
+        grid_tables_compare_script,
+        grid_tables_script,
+    )
+    from .grid_tools.jobqueue import run_job_script
     from .install import install_script
     from .run import run_script
 
@@ -44,11 +50,14 @@ def _commands():
         "grid-create": grid_create_script,
         "grid-run": grid_run_script,
         "grid-tables": grid_tables_script,
+        "grid-tables-compare": grid_tables_compare_script,
         "grid-converge": grid_converge_script,
         "grid-list": grid_list_script,
+        "grid-getdist": grid_getdist_script,
         "grid-cleanup": grid_cleanup_script,
         "grid-copy": grid_copy_script,
         "grid-extract": grid_extract_script,
+        "run-job": run_job_script,
         "running-jobs": running_jobs_script,
         "delete-jobs": delete_jobs_script,
         "cosmo-generator": cosmo_generator_script,

@@ -13,6 +13,8 @@ import shutil
 import zipfile
 from typing import Optional
 
+import numpy as np
+
 from ..utils.log import get_logger, logger_setup
 from .grid import grid_inputs, grid_status
 
@@ -139,7 +141,78 @@ def grid_extract(grid_dir: str, target: str, exts: tuple = (".covmat",),
     return out
 
 
+def grid_getdist(grid_dir: str, burn_remove: float = 0.3,
+                 update_only: bool = False,
+                 out_dir: Optional[str] = None) -> list[str]:
+    """Marginal-statistics analysis of every grid chain.
+
+    Reference: cobaya/grid_tools/gridmanage.py:114 (cobaya-grid-getdist)
+    shells out to getdist per chain; here the stats come from the native
+    weighted-quantile path (`SampleCollection.get_stats`), with getdist
+    used for the output files when it is importable.  Writes
+    `<out_dir>/<name>.margestats` (+ `.likestats`) per entry.
+    """
+    from ..io.output import load_samples
+
+    out_dir = out_dir or os.path.join(grid_dir, "dist")
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for name, prefix in _entries(grid_dir).items():
+        marge_path = os.path.join(out_dir, name + ".margestats")
+        chain_files = [f for f in _product_files(prefix)
+                       if f.endswith(".txt")]
+        if not chain_files:
+            continue
+        if update_only and os.path.exists(marge_path) and (
+                os.path.getmtime(marge_path)
+                >= max(map(os.path.getmtime, chain_files))):
+            continue
+        try:
+            coll = load_samples(prefix, skip=burn_remove, combined=True)
+        except Exception as exc:
+            log.warning("Skipping '%s': %s", name, exc)
+            continue
+        if coll is None or len(coll) == 0:
+            continue
+        stats = coll.get_stats()
+        with open(marge_path, "w", encoding="utf-8") as f:
+            f.write(f"Marginalized statistics: {name}\n\n")
+            f.write("%-22s %15s %15s %15s %15s %15s %15s\n" % (
+                "parameter", "mean", "sddev",
+                "lower1", "upper1", "lower2", "upper2"))
+            for p, entry in stats.items():
+                lo1, hi1 = entry.get("cl68", (np.nan, np.nan))
+                lo2, hi2 = entry.get("cl95", (np.nan, np.nan))
+                f.write("%-22s %15.7E %15.7E %15.7E %15.7E %15.7E %15.7E\n"
+                        % (p, entry["mean"], entry["std"],
+                           lo1, hi1, lo2, hi2))
+        best = dict(zip(coll.columns, coll.MAP()))
+        like_path = os.path.join(out_dir, name + ".likestats")
+        with open(like_path, "w", encoding="utf-8") as f:
+            f.write(f"Best fit sample: {name}\n")
+            f.write("-log(Posterior) = %.6f\n\n"
+                    % best.get("minuslogpost", np.nan))
+            for p, v in best.items():
+                f.write("%-22s %15.7E\n" % (p, v))
+        written += [marge_path, like_path]
+        log.info("Analyzed '%s' -> %s", name, marge_path)
+    return written
+
+
 # ---- CLI entry points -------------------------------------------------------
+
+def grid_getdist_script(args=None):
+    logger_setup()
+    parser = argparse.ArgumentParser(prog="cobaya-tpu grid-getdist")
+    parser.add_argument("grid_dir")
+    parser.add_argument("--burn_remove", type=float, default=0.3)
+    parser.add_argument("--update_only", action="store_true")
+    parser.add_argument("--out", default=None)
+    ns = parser.parse_args(args)
+    for path in grid_getdist(ns.grid_dir, burn_remove=ns.burn_remove,
+                             update_only=ns.update_only, out_dir=ns.out):
+        print("wrote " + path)
+
 
 def grid_list_script(args=None):
     logger_setup()

@@ -198,3 +198,44 @@ def delete_jobs(batch_path: str, names: Optional[list[str]] = None,
                            check=False)
         index.delete(job_id)
     return targets
+
+
+def run_job_script(args=None):
+    """Submit a single input file to the cluster queue.
+
+    Reference: cobaya/grid_tools/runMPI.py:10 (cobaya-run-job) — wraps one
+    (or more) input yaml(s) in a batch script and submits it; with
+    --engine sh (the default outside a scheduler) the job simply runs in
+    the foreground via bash.
+    """
+    import argparse
+
+    from ..utils.log import logger_setup
+
+    logger_setup()
+    parser = argparse.ArgumentParser(prog="cobaya-tpu run-job")
+    parser.add_argument("input_file", nargs="+")
+    parser.add_argument("--engine", default=None,
+                        help="slurm | pbs | sh (default: auto-detect)")
+    parser.add_argument("--queue", default="normal")
+    parser.add_argument("--walltime", default="24:00:00")
+    parser.add_argument("--chips", type=int, default=8)
+    parser.add_argument("--program", default=None,
+                        help="override the per-input run command")
+    parser.add_argument("--batch-path", default=".",
+                        help="where scripts/logs/the job index are kept")
+    parser.add_argument("--dry-run", action="store_true")
+    ns = parser.parse_args(args)
+    engine = ns.engine
+    if engine is None:
+        engine = ("slurm" if shutil.which("sbatch")
+                  else "pbs" if shutil.which("qsub") else "sh")
+    jobname = os.path.splitext(os.path.basename(ns.input_file[0]))[0]
+    settings = JobSettings(
+        jobname=jobname, inputs=list(ns.input_file), walltime=ns.walltime,
+        queue=ns.queue, chips=ns.chips, engine=engine,
+        **({"program": ns.program} if ns.program else {}),
+    )
+    job_id = submit_job(ns.batch_path, settings, dry_run=ns.dry_run)
+    if job_id is not None:
+        print(f"submitted {jobname} as job {job_id} ({engine})")

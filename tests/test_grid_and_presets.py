@@ -237,6 +237,33 @@ def test_grid_tables_and_manage(tmp_path):
                                                                 listing)
 
 
+def test_grid_getdist_and_param_compare(tmp_path):
+    from cobaya_tpu.grid_tools.gridmanage import grid_getdist
+    from cobaya_tpu.grid_tools.gridtables import grid_param_compare
+
+    grid_dir = _mini_grid(tmp_path)
+    written = grid_getdist(grid_dir, burn_remove=0.3)
+    marge = [f for f in written if f.endswith(".margestats")]
+    like = [f for f in written if f.endswith(".likestats")]
+    assert len(marge) == 2 and len(like) == 2
+    text = open(marge[0]).read()
+    assert "parameter" in text and "lower2" in text
+    # the 'a' line carries mean/std/CL-bound numbers
+    row = next(ln for ln in text.splitlines() if ln.startswith("a "))
+    values = [float(v) for v in row.split()[1:]]
+    assert len(values) == 6 and 0 < values[0] < 1
+    assert "-log(Posterior)" in open(like[0]).read()
+    # update_only skips untouched chains
+    assert grid_getdist(grid_dir, update_only=True) == []
+    # param comparison column content
+    lines = grid_param_compare(grid_dir, params=["a"], math_columns=True)
+    assert len(lines) == 2
+    assert all(r"\pm" in ln and ln.endswith(r"\cr") for ln in lines)
+    # tag filter restricts entries
+    only_m1 = grid_param_compare(grid_dir, params=["a"], compare=["m1"])
+    assert len(only_m1) == 1 and only_m1[0].startswith("m1")
+
+
 def test_jobqueue_submit_and_delete(tmp_path):
     from cobaya_tpu.grid_tools.jobqueue import (
         JobIndex, JobSettings, delete_jobs, parse_job_id, submit_job,
