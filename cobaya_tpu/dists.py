@@ -103,13 +103,20 @@ class Dist1D:
         # Fallback: host callback (works under jit, slower).
         import jax
 
+        spec = jax.ShapeDtypeStruct(
+            getattr(x, "shape", ()), getattr(x, "dtype", np.float32)
+        )
+
+        def host_logpdf(v):
+            from .utils.tools import ensure_callback_thread_x64
+
+            ensure_callback_thread_x64([spec])
+            return np.asarray(
+                self.scipy_dist.logpdf(np.asarray(v)), dtype=spec.dtype
+            )
+
         return jax.pure_callback(
-            lambda v: np.asarray(
-                self.scipy_dist.logpdf(np.asarray(v)), dtype=np.asarray(v).dtype
-            ),
-            jax.ShapeDtypeStruct(getattr(x, "shape", ()), getattr(x, "dtype", np.float32)),
-            x,
-            vmap_method="expand_dims",
+            host_logpdf, spec, x, vmap_method="expand_dims",
         )
 
     def sample(self, key, shape=()):
@@ -120,13 +127,16 @@ class Dist1D:
 
         seed = jax.random.randint(key, (), 0, np.iinfo(np.int32).max)
 
+        sample_spec = jax.ShapeDtypeStruct(shape, np.float64)
+
         def _draw(s):
+            from .utils.tools import ensure_callback_thread_x64
+
+            ensure_callback_thread_x64([sample_spec])
             rng = np.random.default_rng(int(s))
             return self.scipy_dist.rvs(size=shape, random_state=rng).astype(np.float64)
 
-        return jax.pure_callback(
-            _draw, jax.ShapeDtypeStruct(shape, np.float64), seed
-        )
+        return jax.pure_callback(_draw, sample_spec, seed)
 
     def __repr__(self):
         return f"Dist1D({self.name}, {self.kwargs})"
@@ -361,3 +371,74 @@ def get_1d_dist(definition: float | Sequence | dict) -> Dist1D:
     if ("loc" in kwargs or "scale" in kwargs) and name != "truncnorm":
         pass
     return dist
+
+
+# ---- traced scipy.stats facade ------------------------------------------------
+
+class _TracedFrozen:
+    """Frozen-distribution view with jittable logpdf/pdf."""
+
+    def __init__(self, dist: Dist1D):
+        self._dist = dist
+
+    def logpdf(self, x):
+        return self._dist.logpdf(x)
+
+    def pdf(self, x):
+        return _jnp().exp(self._dist.logpdf(x))
+
+    def __getattr__(self, name):  # host-side ops: ppf, cdf, rvs, ...
+        return getattr(self._dist.scipy_dist, name)
+
+
+class _TracedFamily:
+    """One scipy.stats family exposed with trace-safe logpdf/pdf.
+
+    ``stats.norm.logpdf(x, loc=, scale=)`` and ``stats.norm(loc=, scale=)``
+    both work under jit for every family in ``_IMPLS``; other families
+    fall through to scipy (host-only, like the reference).
+    """
+
+    # positional shape-arg names per supported family (scipy conventions)
+    _SHAPES = {"truncnorm": ("a", "b"), "beta": ("a", "b"),
+               "gamma": ("a",), "lognorm": ("s",)}
+
+    def __init__(self, name: str):
+        self._name = name
+
+    def _freeze(self, *args, **kwargs) -> _TracedFrozen:
+        shapes = self._SHAPES.get(self._name, ())
+        kw = dict(zip(list(shapes) + ["loc", "scale"], args))
+        kw.update(kwargs)
+        return _TracedFrozen(Dist1D(self._name, **kw))
+
+    def __call__(self, *args, **kwargs):
+        return self._freeze(*args, **kwargs)
+
+    def logpdf(self, x, *args, **kwargs):
+        return self._freeze(*args, **kwargs).logpdf(x)
+
+    def pdf(self, x, *args, **kwargs):
+        return self._freeze(*args, **kwargs).pdf(x)
+
+    def __getattr__(self, name):  # everything else: plain scipy
+        import scipy.stats as stats
+
+        return getattr(getattr(stats, self._name), name)
+
+
+class TracedStats:
+    """`scipy.stats` facade for user lambda strings (priors, dynamic params,
+    external likelihoods): distributions with native implementations in
+    ``_IMPLS`` get jittable logpdf/pdf so the expression traces into the
+    device program; anything else falls back to real scipy.stats."""
+
+    def __getattr__(self, name):
+        if name in _IMPLS:
+            return _TracedFamily(name)
+        import scipy.stats as stats
+
+        return getattr(stats, name)
+
+
+traced_stats = TracedStats()

@@ -5,6 +5,7 @@ Requires the planck_2018_CamSpec_native data package.
 """
 
 from ..base_classes.camspec import CamSpec
+from . import nuisance as nu
 
 
 class TT(CamSpec):
@@ -12,3 +13,5 @@ class TT(CamSpec):
     use_cl = ["100x100", "143x143", "217x217", "143x217"]
     aliases = ["CamSpecHM_TT"]
     speed = 50
+    params = nu.params_full
+    prior = nu.prior_SZ

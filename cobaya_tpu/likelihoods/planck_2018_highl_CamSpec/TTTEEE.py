@@ -4,6 +4,7 @@ Reference: cobaya/likelihoods/planck_2018_highl_CamSpec/TTTEEE.py.
 """
 
 from ..base_classes.camspec import CamSpec
+from . import nuisance as nu
 
 
 class TTTEEE(CamSpec):
@@ -11,3 +12,5 @@ class TTTEEE(CamSpec):
     use_cl = ["100x100", "143x143", "217x217", "143x217", "TE", "EE"]
     aliases = ["CamSpecHM_TTTEEE"]
     speed = 50
+    params = nu.params_full
+    prior = nu.prior_SZ

@@ -2,6 +2,7 @@
 (reference: cobaya/likelihoods/planck_2018_highl_CamSpec2021/EE.py)."""
 
 from ..base_classes.camspec2021 import CamSpec2021
+from . import nuisance as nu
 
 
 class EE(CamSpec2021):
@@ -9,3 +10,4 @@ class EE(CamSpec2021):
     use_cl = "EE".split()
     aliases = ["CamSpec2021HM_EE"]
     speed = 160
+    params = {**nu.params_calib, **nu.params_EE, **nu.params_fixedcalTE}

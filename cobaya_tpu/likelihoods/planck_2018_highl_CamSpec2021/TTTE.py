@@ -2,6 +2,7 @@
 (reference: cobaya/likelihoods/planck_2018_highl_CamSpec2021/TTTE.py)."""
 
 from ..base_classes.camspec2021 import CamSpec2021
+from . import nuisance as nu
 
 
 class TTTE(CamSpec2021):
@@ -9,3 +10,4 @@ class TTTE(CamSpec2021):
     use_cl = "143x143 217x217 143x217 TE".split()
     aliases = ["CamSpec2021HM_TTTEEE"]
     speed = 15
+    params = {**nu.params_calib, **nu.params_TT, **nu.params_fixedcalEE, **nu.params_TE}

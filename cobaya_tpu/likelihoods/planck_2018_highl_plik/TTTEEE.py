@@ -2,8 +2,14 @@
 (reference: cobaya/likelihoods/planck_2018_highl_plik/TTTEEE.py)."""
 
 from ..base_classes.planck_clik import PlanckClik
+from . import nuisance as nu
 
 
 class TTTEEE(PlanckClik):
     clik_file = "baseline/plc_3.0/hi_l/plik/plik_rd12_HM_v22b_TTTEEE.clik"
     aliases = ["plikHM_TTTEEE"]
+    speed = 30
+    params = {**nu.params_calib, **nu.params_calib_temp,
+              **nu.params_calib_pol, **nu.params_TT, **nu.params_TE,
+              **nu.params_EE}
+    prior = nu.prior_SZ

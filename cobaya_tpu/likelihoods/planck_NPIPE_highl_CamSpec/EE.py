@@ -2,6 +2,7 @@
 (reference: cobaya/likelihoods/planck_NPIPE_highl_CamSpec/EE.py)."""
 
 from ..base_classes.camspec2021 import Planck2020CamSpecPython
+from ..planck_2018_highl_CamSpec2021 import nuisance as nu
 
 
 class EE(Planck2020CamSpecPython):
@@ -9,3 +10,4 @@ class EE(Planck2020CamSpecPython):
     use_cl = "EE".split()
     aliases = ["CamSpec_NPIPE_EE"]
     speed = 50
+    params = {**nu.params_calib, **nu.params_EE, **nu.params_fixedcalTE}

@@ -2,6 +2,7 @@
 (reference: cobaya/likelihoods/planck_NPIPE_highl_CamSpec/TEEE.py)."""
 
 from ..base_classes.camspec2021 import Planck2020CamSpecPython
+from ..planck_2018_highl_CamSpec2021 import nuisance as nu
 
 
 class TEEE(Planck2020CamSpecPython):
@@ -9,3 +10,4 @@ class TEEE(Planck2020CamSpecPython):
     use_cl = "TE EE".split()
     aliases = ["CamSpec_NPIPE_TEEE"]
     speed = 60
+    params = {**nu.params_calib, **nu.params_TE, **nu.params_EE}

@@ -2,6 +2,7 @@
 (reference: cobaya/likelihoods/planck_NPIPE_highl_CamSpec/TTTE.py)."""
 
 from ..base_classes.camspec2021 import Planck2020CamSpecPython
+from ..planck_2018_highl_CamSpec2021 import nuisance as nu
 
 
 class TTTE(Planck2020CamSpecPython):
@@ -9,3 +10,4 @@ class TTTE(Planck2020CamSpecPython):
     use_cl = "143x143 217x217 143x217 TE".split()
     aliases = ["CamSpec_NPIPE_TTTEEE"]
     speed = 15
+    params = {**nu.params_calib, **nu.params_TT, **nu.params_fixedcalEE, **nu.params_TE}

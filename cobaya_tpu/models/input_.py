@@ -89,6 +89,7 @@ def update_info(
     info = deepcopy_where_possible(info)
     updated: InputDict = {k: v for k, v in info.items() if k not in cv.kinds}
     default_params_from_components: dict[str, dict] = {}
+    default_priors_from_components: dict[str, dict] = {}
     for kind in cv.kinds:
         block = info.get(kind)
         if block is None:
@@ -130,6 +131,12 @@ def update_info(
             comp_params = defaults.pop("params", None)
             if comp_params:
                 default_params_from_components[name] = comp_params
+            comp_prior = defaults.pop("prior", None)
+            if comp_prior:
+                # components may ship external priors over their nuisance
+                # params (e.g. Planck plik's joint SZ prior); merge them
+                # into the global prior block (reference input.py:506)
+                default_priors_from_components[name] = comp_prior
             merged = recursive_update(defaults, comp_info)
             # validate options against defaults (+ annotations)
             updated_block[name] = merged
@@ -139,6 +146,20 @@ def update_info(
     for comp_params in default_params_from_components.values():
         params_info = merge_params_info(params_info, comp_params)
     params_info = merge_params_info(params_info, info.get("params") or {})
+    # merge component-shipped external priors (user's own block wins)
+    if default_priors_from_components:
+        priors_info = dict(updated.get("prior") or {})
+        for comp_name, comp_prior in default_priors_from_components.items():
+            for pname, spec in comp_prior.items():
+                if pname in priors_info and priors_info[pname] != spec:
+                    if pname in (info.get("prior") or {}):
+                        continue  # explicit user override
+                    raise LoggedError(
+                        log, "Conflicting definitions of external prior "
+                        "'%s' (from component '%s').", pname, comp_name,
+                    )
+                priors_info[pname] = spec
+        updated["prior"] = priors_info
     if add_aggr_chi2 and updated.get("likelihood"):
         types = set()
         for comp_info in updated["likelihood"].values():

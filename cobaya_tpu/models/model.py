@@ -28,7 +28,12 @@ import numpy as np
 
 from ..utils import conventions as cv
 from ..utils.log import HasLogger, LoggedError, logger_setup
-from ..utils.tools import deepcopy_where_possible, sort_parameter_blocks, str_to_list
+from ..utils.tools import (
+    deepcopy_where_possible,
+    ensure_callback_thread_x64,
+    sort_parameter_blocks,
+    str_to_list,
+)
 from ..utils.typing_ import InputDict
 from .component import ComponentCollection, Timer
 from .input_ import load_input_dict, update_info
@@ -965,6 +970,8 @@ class Model(HasLogger):
                         if getattr(by_name[n], "jittable", False)]
 
         def host_eval(token_arrays, jit_leaf_views, *arrays):
+            # 64-bit results survive JAX's runtime-thread canonicalization
+            ensure_callback_thread_x64(spec.values())
             if comp.timer:
                 comp.timer.start()
             arrays = [np.asarray(a) for a in arrays]

@@ -114,10 +114,14 @@ def get_external_function(spec, name: str | None = None) -> Callable:
     if not isinstance(spec, str):
         raise LoggedError(log, "Expected callable or string for %s, got %r", name, spec)
     import jax.numpy as jnp
-    import scipy.stats as stats
+
+    from ..dists import traced_stats
 
     namespace: dict[str, Any] = {
-        "np": jnp, "jnp": jnp, "numpy": np, "math": math, "stats": stats,
+        "np": jnp, "jnp": jnp, "numpy": np, "math": math,
+        # scipy.stats facade with jittable logpdf/pdf for common families,
+        # so e.g. the Planck SZ joint prior traces into the device program
+        "stats": traced_stats,
         "lambda_": None,
     }
     try:
@@ -441,3 +445,23 @@ class Pool2D:
             return np.array([lookup[(float(a), float(b))] for a, b in req])
         except KeyError as exc:
             raise LoggedError(log, "Requested pair not in pool: %s", exc) from exc
+
+
+def ensure_callback_thread_x64(specs) -> None:
+    """Keep 64-bit host-callback results from being downcast by JAX.
+
+    ``jax.pure_callback`` results pass through ``dtypes.canonicalize_value``
+    on the RUNTIME thread that executes the callback.  ``jax.enable_x64`` is
+    thread-local: a worker thread spawned while x64 was off silently
+    downcasts a declared-float64 result to float32 and the callback errors
+    with a dtype mismatch.  Call this inside the host callback (it runs on
+    the same thread as the canonicalization) whenever the declared result
+    spec contains 64-bit dtypes; it pins this thread's x64 state on, which
+    is a no-op for 32-bit results.
+    """
+    if any(np.dtype(s.dtype).itemsize == 8 and np.dtype(s.dtype).kind in "fiu"
+           for s in specs):
+        from jax._src import config as _jax_config
+
+        if not _jax_config.enable_x64.value:
+            _jax_config.enable_x64.set_local(True)

@@ -90,3 +90,46 @@ def test_is_equal_info():
 def test_load_input_dict_yaml_string():
     d = load_input_dict("params:\n  x:\n    prior: [0, 1]\n")
     assert d["params"]["x"]["prior"] == [0, 1]
+
+
+def test_component_nuisance_defaults_and_priors():
+    """Likelihood classes ship their published nuisance-parameter defaults;
+    component 'prior' blocks merge into the global prior (reference
+    planck_2018_highl_plik/params_*.yaml + prior_SZ.yaml)."""
+    from cobaya_tpu.models.input_ import update_info
+
+    upd = update_info({"likelihood": {"planck_2018_highl_plik.TTTEEE": None},
+                       "params": {}})
+    pars = upd["params"]
+    sampled = {p for p, v in pars.items()
+               if isinstance(v, dict) and "prior" in v}
+    # 21 sampled nuisance params in the Planck 2018 plik TTTEEE baseline
+    assert len(sampled) == 21, sorted(sampled)
+    for p in ("A_planck", "calib_100T", "calib_217T", "A_cib_217", "A_sz",
+              "ksz_norm", "gal545_A_217", "ps_A_143_217", "galf_TE_A_217"):
+        assert p in sampled, p
+    # fixed EE dust amplitudes and the subpixel factors ride along
+    assert pars["galf_EE_A_217"]["value"] == 0.70
+    assert pars["A_sbpx_100_100_TT"] == 1
+    # the joint SZ prior lands in the global prior block
+    assert "SZ" in upd["prior"]
+    # a user-specified prior of the same name wins
+    upd2 = update_info({
+        "likelihood": {"planck_2018_highl_plik.TT": None},
+        "params": {}, "prior": {"SZ": "lambda A_sz: 0.0"},
+    })
+    assert upd2["prior"]["SZ"] == "lambda A_sz: 0.0"
+    # CamSpec 2018 and 2021/NPIPE catalogs
+    upd3 = update_info({"likelihood": {"planck_2018_highl_CamSpec.TT": None},
+                        "params": {}})
+    sampled3 = {p for p, v in upd3["params"].items()
+                if isinstance(v, dict) and "prior" in v}
+    assert {"aps100", "asz143", "dust143x217", "cal0", "calEE"} <= sampled3
+    assert "SZ" in upd3["prior"]
+    upd4 = update_info({
+        "likelihood": {"planck_NPIPE_highl_CamSpec.TTTEEE": None},
+        "params": {}})
+    sampled4 = {p for p, v in upd4["params"].items()
+                if isinstance(v, dict) and "prior" in v}
+    assert {"A_planck", "amp_143", "n_217", "calTE", "calEE"} <= sampled4
+    assert upd4["params"]["amp_100"] == 0

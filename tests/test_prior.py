@@ -97,3 +97,40 @@ def test_sample_from_prior():
     s = prior.sample(2000, random_state=0)
     assert s.shape == (2000, 2)
     assert abs(s[:, 0].mean() - 1.0) < 0.05
+
+
+def test_external_prior_stats_lambda_traces():
+    """External priors written with scipy-stats idioms (e.g. the Planck SZ
+    joint prior) must trace into the jitted posterior (dists.traced_stats)
+    and agree with scipy on the host path."""
+    import scipy.stats as st
+
+    from cobaya_tpu.models.model import get_model
+
+    info = {
+        "params": {"a": [0, 10, 5, 1, 0.5], "b": [0, 10, 5, 1, 0.5]},
+        "likelihood": {"gaussian_mixture": {
+            "means": [[5.0, 5.0]], "covs": [np.eye(2).tolist()],
+            "input_params": ["a", "b"]}},
+        "prior": {
+            "SZ": "lambda a, b: stats.norm.logpdf(a+1.6*b, loc=9.5, scale=3.0)",
+            "soft": "lambda a: stats.halfnorm.logpdf(a, scale=4.0)",
+        },
+    }
+    model = get_model(info)
+    fn = model.make_logposterior_fn()
+    import jax
+
+    import jax.numpy as jnp
+
+    logpost, logpriors, *_ = jax.jit(fn)(jnp.array([4.0, 5.0]))
+    expected_sz = st.norm.logpdf(4.0 + 1.6 * 5.0, loc=9.5, scale=3.0)
+    expected_soft = st.halfnorm.logpdf(4.0, scale=4.0)
+    assert np.isclose(float(logpriors[1]), expected_sz, atol=1e-5)
+    assert np.isclose(float(logpriors[2]), expected_soft, atol=1e-5)
+    # host path agrees
+    lp = model.logposterior({"a": 4.0, "b": 5.0})
+    assert np.isclose(lp.logpriors[1], expected_sz, atol=1e-5)
+    assert np.isclose(float(logpost),
+                      float(sum(lp.logpriors)) + float(sum(lp.loglikes)),
+                      atol=1e-4)
