@@ -5,6 +5,7 @@ package (cobaya-tpu install).
 """
 
 from ..base_classes.des import DES
+from . import nuisance as nu
 
 
 class clustering(DES):
@@ -12,3 +13,4 @@ class clustering(DES):
     dataset_params = {"used_data_types": "wtheta"}
     aliases = ["des_clustering"]
     speed = 30
+    params = nu.params_lens

@@ -5,6 +5,7 @@ package (cobaya-tpu install).
 """
 
 from ..base_classes.des import DES
+from . import nuisance as nu
 
 
 class galaxy_galaxy(DES):
@@ -12,3 +13,4 @@ class galaxy_galaxy(DES):
     dataset_params = {"used_data_types": "gammat"}
     aliases = ["des_galaxy_galaxy"]
     speed = 30
+    params = nu.params_joint

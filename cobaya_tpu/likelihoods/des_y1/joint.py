@@ -5,6 +5,7 @@ package (cobaya-tpu install).
 """
 
 from ..base_classes.des import DES
+from . import nuisance as nu
 
 
 class joint(DES):
@@ -12,3 +13,4 @@ class joint(DES):
     dataset_params = {"used_data_types": "xip xim gammat wtheta"}
     aliases = ["des_joint"]
     speed = 30
+    params = nu.params_joint

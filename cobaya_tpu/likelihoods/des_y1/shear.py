@@ -5,6 +5,7 @@ package (cobaya-tpu install).
 """
 
 from ..base_classes.des import DES
+from . import nuisance as nu
 
 
 class shear(DES):
@@ -12,3 +13,4 @@ class shear(DES):
     dataset_params = {"used_data_types": "xip xim"}
     aliases = ["des_shear"]
     speed = 30
+    params = nu.params_source

@@ -133,3 +133,39 @@ def test_component_nuisance_defaults_and_priors():
                 if isinstance(v, dict) and "prior" in v}
     assert {"A_planck", "amp_143", "n_217", "calTE", "calEE"} <= sampled4
     assert upd4["params"]["amp_100"] == 0
+
+
+def test_des_and_clik_calib_defaults():
+    """DES Y1 variants ship their photo-z/bias/shear/IA defaults; the clik
+    lowl/lensing variants ship A_planck (reference des_y1/*.yaml +
+    planck_calib)."""
+    from cobaya_tpu.models.input_ import update_info
+
+    upd = update_info({"likelihood": {"des_y1.joint": None}, "params": {}})
+    sampled = {p for p, v in upd["params"].items()
+               if isinstance(v, dict) and "prior" in v}
+    assert len(sampled) == 20
+    assert {"DES_DzL1", "DES_b5", "DES_DzS4", "DES_m1",
+            "DES_AIA", "DES_alphaIA"} <= sampled
+    assert upd["params"]["DES_z0IA"]["value"] == 0.62
+    upd = update_info({"likelihood": {"des_y1.shear": None}, "params": {}})
+    sampled = {p for p, v in upd["params"].items()
+               if isinstance(v, dict) and "prior" in v}
+    assert len(sampled) == 10 and "DES_b1" not in sampled
+    for like in ("planck_2018_lowl.TT_clik", "planck_2018_lowl.EE_clik",
+                 "planck_2018_lensing.clik"):
+        upd = update_info({"likelihood": {like: None}, "params": {}})
+        assert "prior" in upd["params"]["A_planck"], like
+
+
+def test_full_planck_2018_preset_composes():
+    """The reference-faithful planck_2018_camb preset builds the published
+    27-sampled-parameter run (6 cosmology + 21 nuisance) with the SZ prior."""
+    from cobaya_tpu.cosmo_input import create_input
+    from cobaya_tpu.models.input_ import update_info
+
+    upd = update_info(create_input(preset="planck_2018_camb"))
+    sampled = [p for p, v in upd["params"].items()
+               if isinstance(v, dict) and "prior" in v]
+    assert len(sampled) == 27
+    assert "SZ" in upd["prior"]
