@@ -249,13 +249,27 @@ class MCMC(CovmatSampler):
         self._ring_len = 0
         self._ring_stride = 1
         self._rec_seen = 0
+        # don't pay the ring's memory traffic when the CL test can never
+        # bind (e.g. benchmarks that disable it with a huge stop value)
+        if self.Rminus1_cl_stop >= 100:
+            self.cl_bounds_records = 0
         if self.cl_bounds_records:
             from ...ops.convergence import cl_bounds_stats_jax
 
             M = int(self.cl_bounds_records)
-            self._ring_update = jax.jit(
-                lambda ring, new: jnp.concatenate([ring, new], axis=0)[-M:]
-            )
+
+            def ring_update(ring, new, pos):
+                # preallocated circular buffer: write only the new rows
+                # (a concat copy of the whole (M, C, d) ring per epoch is
+                # pure wasted HBM bandwidth)
+                n = new.shape[0]
+                idx = (pos + jnp.arange(n)) % M
+                return ring.at[idx].set(new), (pos + n) % M
+
+            # donate the ring so XLA updates the buffer in place instead
+            # of copying O(M C d) per epoch
+            self._ring_update = jax.jit(ring_update, donate_argnums=0)
+            self._ring_pos = 0
             self._cl_stats_fn = jax.jit(
                 lambda ring: cl_bounds_stats_jax(
                     ring, confidence=self.Rminus1_cl_level
@@ -478,6 +492,7 @@ class MCMC(CovmatSampler):
             self._ring = None
             self._ring_len = 0
             self._ring_stride = 1
+            self._ring_pos = 0
             self._rec_seen = 0
         # pipelined epochs: the next epoch is dispatched before the
         # previous one's statistics reach the host, hiding the host link
@@ -766,16 +781,25 @@ class MCMC(CovmatSampler):
         if idx.size:
             sel = rx[jnp.asarray(idx)] if idx.size < n_rec else rx
             if self._ring is None:
-                self._ring = sel[-M:]
-                self._ring_len = min(idx.size, M)
-            else:
-                self._ring = self._ring_update(self._ring, sel)
-                self._ring_len = min(self._ring_len + idx.size, M)
-        # double the stride once the full ring spans less than half the run
+                # preallocate the full circular buffer once; unwritten
+                # slots are filled with the first batch's rows (quantiles
+                # are row-order independent and _ring_len gates readiness)
+                self._ring = jnp.zeros((M,) + tuple(sel.shape[1:]),
+                                       sel.dtype) + sel[-1]
+                self._ring_pos = 0
+            self._ring, self._ring_pos = self._ring_update(
+                self._ring, sel, self._ring_pos
+            )
+            self._ring_len = min(self._ring_len + idx.size, M)
+        # double the stride once the full ring spans less than half the
+        # run: keep every other row (row order is irrelevant to the
+        # quantiles) and let new writes refill the freed half
         while (self._ring_len >= M
                and self.n_steps // 2 > M * self._ring_stride * thin):
-            self._ring = self._ring[::2]
-            self._ring_len = self._ring.shape[0]
+            half = self._ring[::2]
+            self._ring = jnp.concatenate([half, half], axis=0)
+            self._ring_len = half.shape[0]
+            self._ring_pos = int(self._ring_len)
             self._ring_stride *= 2
 
     def _check_cl_bounds(self) -> float:
@@ -789,8 +813,10 @@ class MCMC(CovmatSampler):
         """
         from ...parallel import state as pstate
 
+        # require a full ring: until then some circular-buffer slots hold
+        # duplicated rows, which would bias the quantiles tight
         if self.cl_bounds_records and self._ring is not None \
-                and self._ring_len >= 4:
+                and self._ring_len >= int(self.cl_bounds_records):
             import jax
 
             from ...ops.convergence import pool_cl_bounds_stats
