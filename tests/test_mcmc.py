@@ -319,3 +319,31 @@ def test_oversample_thin_spacing():
             assert thins == {expected} and expected >= expect_min
         else:
             assert thins == {1}
+
+
+def test_cl_bounds_ring_mechanics():
+    """The device CL-bounds ring fills as a circular buffer, wraps, and
+    yields a finite device-side CL R-1 once full; a huge Rminus1_cl_stop
+    disables the ring entirely (no wasted bandwidth)."""
+    from tests.test_speeds import _make_info
+
+    info, _ = _make_info(n_chains=8, max_samples=400)
+    info["sampler"]["mcmc"].update({
+        "learn_every": 50, "records_per_epoch": 25,
+        "cl_bounds_records": 16, "Rminus1_cl_stop": 0.2,
+        "Rminus1_stop": 1e-6,  # never stops on means within max_samples
+        "seed": 5,
+    })
+    _, sampler = run(info)
+    assert sampler._ring is not None
+    assert sampler._ring.shape[0] == 16          # preallocated, fixed shape
+    # striding may have halved the valid count to span the recent half
+    assert 4 <= sampler._ring_len <= 16 and sampler._ring_stride >= 1
+    assert np.isfinite(sampler.Rminus1_cl_last)
+    # disabled when the CL test can never bind
+    info2, _ = _make_info(n_chains=8, max_samples=100)
+    info2["sampler"]["mcmc"].update({
+        "learn_every": 50, "Rminus1_cl_stop": 1e6, "seed": 5,
+    })
+    _, sampler2 = run(info2)
+    assert sampler2.cl_bounds_records == 0 and sampler2._ring is None
