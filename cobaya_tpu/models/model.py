@@ -1123,6 +1123,12 @@ class Model(HasLogger):
         for comp in self.components:
             avg = comp.timer.get_time_avg() if comp.timer else None
             if avg:
+                # host-bridge components amortize the walker batch across
+                # their callback pool: the per-walker cost the blocking
+                # math should see is the single-eval time / pool size
+                pool = self._callback_pool_size(comp)
+                if pool > 1 and not getattr(comp, "jittable", False):
+                    avg /= pool
                 comp.set_measured_speed(1.0 / avg)
                 self.log.debug(
                     "Measured speed of %s: %g evals/s", comp.get_name(),

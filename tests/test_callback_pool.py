@@ -145,3 +145,20 @@ def test_pool_env_var(monkeypatch):
     x = np.asarray(pts)
     like = -0.5 * (x[:, 0] ** 2 + x[:, 1] ** 2)
     np.testing.assert_allclose(out - out[0] + like[0], like, atol=1e-4)
+
+
+def test_measured_speed_includes_pool_amortization():
+    """measure_and_set_speeds divides a host component's per-eval time by
+    its callback pool: that is the per-walker cost the blocking math sees
+    when the bridge fans the batch out."""
+    dt = 0.01
+    info_pooled = _sleepy_info(8, dt)
+    model = get_model(info_pooled)
+    model.measure_and_set_speeds(n=3, random_state=0)
+    pooled_speed = model.components[0].get_speed()
+    info_serial = _sleepy_info(0, dt)
+    model2 = get_model(info_serial)
+    model2.measure_and_set_speeds(n=3, random_state=0)
+    serial_speed = model2.components[0].get_speed()
+    # ~8x per-walker speed with pool=8 (sleep dominates the timing)
+    assert pooled_speed / serial_speed > 4
