@@ -122,6 +122,18 @@ class Minimize(CovmatSampler):
             xs, fs, n_evals = self._run_lbfgs_batched(x0)
         else:
             xs, fs, n_evals = self._run_scipy(x0)
+        # multi-process runs pool every process's starts and all ranks
+        # keep the global best (reference minimize.py:371-430 zip_gather +
+        # process_results)
+        from ...parallel import state as pstate
+
+        if pstate.more_than_one_process():
+            per_proc = pstate.allgather(
+                {"xs": np.asarray(xs), "fs": np.asarray(fs)},
+                tag="minimize-results",
+            )
+            xs = np.concatenate([p["xs"] for p in per_proc], axis=0)
+            fs = np.concatenate([p["fs"] for p in per_proc], axis=0)
         i_best = int(np.argmin(fs))
         self._full_sets = (xs, fs)
         spread = np.max(fs) - np.min(fs)

@@ -151,3 +151,41 @@ def test_error_propagates_across_processes():
     assert "RAISED-LOCALLY" in outs[1]
     assert procs[0].returncode == 0, outs[0][-2000:]
     assert "GOT-PEER-ERROR" in outs[0]
+
+
+MINIMIZE_SCRIPT = r"""
+import os
+import numpy as np
+from cobaya_tpu.run import run
+
+info = {
+    "params": {
+        "x0": {"prior": [-5, 5], "ref": 2.0, "proposal": 0.5},
+        "x1": {"prior": [-5, 5], "ref": -2.0, "proposal": 0.5},
+    },
+    "likelihood": {"gaussian_mixture": {
+        "means": [[0.1, -0.2]], "covs": [[[0.6, 0.1], [0.1, 0.4]]],
+        "input_params_prefix": "x",
+    }},
+    "sampler": {"minimize": {"seed": int(os.environ["COBAYA_TPU_PROCESS_ID"]),
+                              "best_of": 2}},
+}
+upd, sampler = run(info)
+r = sampler.result
+print("RESULT", round(float(r["fun"]), 8), len(r["all_f"]),
+      round(float(np.asarray(r["x"])[0]), 6))
+"""
+
+
+def test_two_process_minimize_pools_best():
+    """Both ranks gather all 2x2 starts and agree on the global best
+    (reference minimize.py:371-430)."""
+    port = _free_port()
+    procs = [_launch(MINIMIZE_SCRIPT, rank, port) for rank in (0, 1)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    results = [next(ln for ln in out.splitlines() if ln.startswith("RESULT"))
+               for out in outs]
+    # identical pooled best on both ranks, over 4 total starts
+    assert results[0] == results[1], results
+    assert results[0].split()[2] == "4"
