@@ -71,6 +71,8 @@ class FileLock(HasLogger):
             return False
 
     def release(self):
+        if os is None:  # interpreter teardown already cleared the module
+            return
         if self._fd is not None:
             os.close(self._fd)
             self._fd = None
@@ -81,7 +83,10 @@ class FileLock(HasLogger):
                 pass
 
     def __del__(self):
-        self.release()
+        try:
+            self.release()
+        except Exception:
+            pass
 
 
 class OutputReadOnly(HasLogger):

@@ -736,7 +736,7 @@ class Model(HasLogger):
             input_values = self.parameterization.to_input(sampled)
             logpriors = [logprior0]
             for ext in self.prior.external.values():
-                logpriors.append(jnp.asarray(ext.logp(input_values)))
+                logpriors.append(jnp.asarray(ext.logp_traced(input_values)))
             products: dict[str, Any] = {}
             outputs: dict[str, Any] = {}
             loglikes_list = []
@@ -840,7 +840,7 @@ class Model(HasLogger):
                 dict(zip(sampled_names, x_safe))
             )
             logpriors = [logprior0] + [
-                jnp.asarray(ext.logp(input_values))
+                jnp.asarray(ext.logp_traced(input_values))
                 for ext in self.prior.external.values()
             ]
             new_cache = list(cache)

@@ -27,15 +27,52 @@ from .parameterization import Parameterization
 
 
 class ExternalPrior:
-    """A user-supplied joint prior: callable over input parameters."""
+    """A user-supplied joint prior: callable over input parameters.
+
+    Traced evaluation (``logp_traced``) probes once whether the callable
+    is jittable; numpy-style callables with Python control flow (the
+    common cobaya idiom, e.g. ``lambda x: 0 if x < 1 else -np.inf``) fall
+    back to a vmappable ``jax.pure_callback`` so they still work inside
+    the compiled sampling path (reference evaluates priors on the host
+    unconditionally, /root/reference/cobaya/prior.py:866).
+    """
 
     def __init__(self, name: str, spec):
         self.name = name
         self.func = get_external_function(spec, name)
         self.params = getfullargspec_args(self.func)
+        self._jittable: bool | None = None
 
     def logp(self, input_params: Mapping[str, Any]):
         return self.func(*[input_params[p] for p in self.params])
+
+    def logp_traced(self, input_params: Mapping[str, Any]):
+        """Evaluate under jax tracing; host-callback fallback if needed."""
+        import jax
+        import jax.numpy as jnp
+
+        args = [jnp.asarray(input_params[p]) for p in self.params]
+        dtype = jnp.result_type(*args) if args else jnp.float32
+        if self._jittable is None:
+            try:
+                jax.eval_shape(
+                    lambda *a: jnp.asarray(self.func(*a), dtype),
+                    *[jax.ShapeDtypeStruct((), dtype) for _ in args],
+                )
+                self._jittable = True
+            except Exception:
+                self._jittable = False
+        if self._jittable:
+            return jnp.asarray(self.func(*args), dtype)
+        func = np.vectorize(self.func, otypes=[np.float64])
+
+        def host(*a):
+            return np.asarray(func(*a), dtype=dtype)
+
+        return jax.pure_callback(
+            host, jax.ShapeDtypeStruct((), dtype), *args,
+            vmap_method="expand_dims",
+        )
 
 
 class Prior(HasLogger):

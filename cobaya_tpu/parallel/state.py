@@ -153,6 +153,50 @@ def share(value: Any = None, root: int = 0, tag: str = "share") -> Any:
 share_mpi = share  # reference-compatible name
 
 
+def sync_point(tag: str = "sync-point", timeout_ms: int = 600_000) -> None:
+    """Counter-free barrier under a fixed tag (unique per logical use).
+
+    Works even when ranks' collective counters have diverged (root-only
+    work); every rank publishes its arrival and blocks until all ranks
+    have.  Use before process exit after asymmetric work so the
+    coordination-service host doesn't tear down while peers still read.
+    """
+    if not more_than_one_process():
+        return
+    client = _distributed_client()
+    me = process_index()
+    client.key_value_set_bytes(f"cobaya_tpu/syncpt/{tag}/{me}", b"1")
+    for i in range(process_count()):
+        if i != me:
+            client.blocking_key_value_get_bytes(
+                f"cobaya_tpu/syncpt/{tag}/{i}", timeout_ms
+            )
+
+
+def share_value(value: Any = None, root: int = 0,
+                tag: str = "share-value") -> Any:
+    """Broadcast under a fixed key (no lockstep counter).
+
+    ``share`` keys embed a per-process collective counter, so every rank
+    must execute the same sequence of collectives.  Use this instead when
+    ranks may have diverged (e.g. root-only work whose result the peers
+    wait for); ``tag`` must then be unique per logical exchange.
+    """
+    if not more_than_one_process():
+        return value
+    client = _distributed_client()
+    if client is None:
+        raise LoggedError(
+            log, "Multi-process run without jax.distributed initialized."
+        )
+    key = f"cobaya_tpu/once/{tag}/{root}"
+    if process_index() == root:
+        client.key_value_set_bytes(key, pickle.dumps(value))
+        return value
+    raw = client.blocking_key_value_get_bytes(key, 600_000)
+    return pickle.loads(raw)
+
+
 def gather(value: Any, root: int = 0, tag: str = "gather") -> list | None:
     """Gather host values at ``root`` (serial: [value])."""
     if not more_than_one_process():

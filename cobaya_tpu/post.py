@@ -22,7 +22,7 @@ from typing import Any, Union
 import numpy as np
 
 from .io.collection import SampleCollection
-from .io.output import get_output, load_samples
+from .io.output import OutputReadOnly, get_output, load_samples
 from .models.input_ import load_input_dict, update_info
 from .models.model import Model
 from .utils import conventions as cv
@@ -52,6 +52,29 @@ def post(info_or_yaml_or_file, sample=None):
     """
     info = load_input_dict(info_or_yaml_or_file)
     logger_setup(info.get("debug"))
+    # multi-process runs: the batched device recompute already covers all
+    # points at device throughput, so root does the work (and the disk
+    # writes) and broadcasts the result summary — the reference instead
+    # splits points across MPI ranks (post.py:622)
+    from .parallel import state as pstate
+
+    if pstate.more_than_one_process() and not info.pop("_post_root", False):
+        if pstate.is_main_process():
+            updated, result = post(dict(info, _post_root=True),
+                                   sample=sample)
+            pstate.share_value({"updated": updated, "stats": result.stats,
+                                "offset": result.logpost_weight_offset},
+                               tag="post-result")
+            pstate.sync_point(tag="post-exit")
+            return updated, result
+        shared = pstate.share_value(tag="post-result")
+        out = shared["updated"], PostResult(
+            sample=None, stats=shared["stats"],
+            logpost_weight_offset=shared["offset"], weights=None,
+        )
+        pstate.sync_point(tag="post-exit")
+        return out
+    info.pop("_post_root", None)
     info_post = info.get("post")
     if not info_post:
         raise LoggedError(log, "No 'post' block given. Nothing to do!")
@@ -64,7 +87,10 @@ def post(info_or_yaml_or_file, sample=None):
     thin = info_post.get("thin") or 1
 
     # --- 1. load the input sample + its model info ----------------------------
-    output_in = get_output(prefix=info.get("output"))
+    # read-only: the input prefix legitimately "already has products"
+    # (reference defers the overwrite check to the sampler, output.py:478-494)
+    output_in = (OutputReadOnly(info["output"]) if info.get("output")
+                 else get_output(prefix=None))
     if output_in:
         info_in = output_in.get_updated_info() or update_info(info)
     else:

@@ -815,8 +815,11 @@ class MCMC(CovmatSampler):
 
         # require a full ring: until then some circular-buffer slots hold
         # duplicated rows, which would bias the quantiles tight
+        # needs at least half the ring to be real rows: right after a
+        # stride doubling the freed half holds duplicates, whose effect on
+        # the quantile spread is small and fades as new records land
         if self.cl_bounds_records and self._ring is not None \
-                and self._ring_len >= int(self.cl_bounds_records):
+                and self._ring_len >= max(4, int(self.cl_bounds_records) // 2):
             import jax
 
             from ...ops.convergence import pool_cl_bounds_stats

@@ -339,7 +339,9 @@ def test_cl_bounds_ring_mechanics():
     assert sampler._ring.shape[0] == 16          # preallocated, fixed shape
     # striding may have halved the valid count to span the recent half
     assert 4 <= sampler._ring_len <= 16 and sampler._ring_stride >= 1
-    assert np.isfinite(sampler.Rminus1_cl_last)
+    # CL bound only runs after means converge (reference semantics);
+    # exercise the device path directly
+    assert np.isfinite(sampler._check_cl_bounds())
     # disabled when the CL test can never bind
     info2, _ = _make_info(n_chains=8, max_samples=100)
     info2["sampler"]["mcmc"].update({

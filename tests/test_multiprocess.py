@@ -189,3 +189,60 @@ def test_two_process_minimize_pools_best():
     # identical pooled best on both ranks, over 4 total starts
     assert results[0] == results[1], results
     assert results[0].split()[2] == "4"
+
+
+POST_SCRIPT = r"""
+import os
+import numpy as np
+from cobaya_tpu.run import run
+from cobaya_tpu.post import post
+from cobaya_tpu.parallel import state as pstate
+
+prefix = os.environ["TEST_PREFIX"]
+base = {
+    "params": {
+        "x0": {"prior": [-5, 5], "ref": 0.0, "proposal": 0.5},
+        "x1": {"prior": [-5, 5], "ref": 0.0, "proposal": 0.5},
+    },
+    "likelihood": {"gaussian_mixture": {
+        "means": [[0.1, -0.2]], "covs": [[[0.6, 0.1], [0.1, 0.4]]],
+        "input_params_prefix": "x",
+    }},
+    "sampler": {"mcmc": {"seed": 3, "n_chains": 8, "max_samples": 600,
+                          "learn_every": 200, "measure_speeds": False,
+                          "output_chains": 1, "fetch_chains": 8}},
+    "output": prefix, "force": True,
+}
+run(base)
+pstate.barrier(tag="chains-done")
+info = {
+    "output": prefix,
+    "post": {"suffix": "p", "add": {
+        "prior": {"cut": "lambda x0: 0.0 if x0 < 1 else -np.inf"}}},
+}
+upd, res = post(info)
+print("RESULT", round(res.stats["eff_samples"], 4),
+      int(res.sample is not None))
+"""
+
+
+def test_two_process_post_root_gated(tmp_path):
+    """post() in a 2-process run: root computes + writes, the peer gets the
+    broadcast stats; no duplicate product writes."""
+    import glob
+
+    port = _free_port()
+    prefix = str(tmp_path / "chains" / "pp")
+    procs = [_launch(POST_SCRIPT, rank, port,
+                     extra_env={"TEST_PREFIX": prefix}) for rank in (0, 1)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    results = sorted(
+        next(ln for ln in out.splitlines() if ln.startswith("RESULT"))
+        for out in outs
+    )
+    # same pooled stats everywhere; only root holds the sample object
+    assert results[0].split()[1] == results[1].split()[1]
+    assert {r.split()[2] for r in results} == {"0", "1"}
+    post_files = glob.glob(prefix + ".post.p.*.txt")
+    assert post_files, "root wrote post products"
