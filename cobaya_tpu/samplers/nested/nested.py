@@ -60,6 +60,24 @@ class Nested(Sampler):
         self.d = len(model.parameterization.sampled_params())
         self._nlive = read_dnumber(self.nlive, self.d)
         self._num_repeats = max(read_dnumber(self.num_repeats, self.d), 1)
+        # multi-process: split the live points across processes — P
+        # independent runs of nlive/P merge (by likelihood order) into one
+        # statistically equivalent nlive run at ~P× the wall-clock speed,
+        # the same capability PolyChord gets from MPI (Skilling 2006 §7;
+        # reference wraps it, /root/reference/cobaya/samplers/polychord)
+        from ...parallel import state as pstate
+
+        self._nproc = pstate.process_count()
+        self._nlive_total = self._nlive
+        if self._nproc > 1:
+            per = max((self._nlive + self._nproc - 1) // self._nproc,
+                      self.d + 2, 8)
+            self.mpi_info(
+                "Multi-process nested sampling: %d processes x %d live "
+                "points (nlive=%d total), merged at the end.",
+                self._nproc, per, self._nlive_total,
+            )
+            self._nlive = per
         self._batch = int(self.batch_size or max(self._nlive // 8, 1))
         self._batch = min(self._batch, max(self._nlive // 2, 1))
         # shard the live-point population over the device mesh: the batch of
@@ -444,6 +462,13 @@ class Nested(Sampler):
                 break
         # record the live-state sharding for introspection/tests
         self._final_live_sharding = getattr(u_live, "sharding", None)
+        u_live_h = np.asarray(jax.device_get(u_live))
+        if self._nproc > 1:
+            self._finalize_multiprocess(
+                np.concatenate(dead_u_all), np.concatenate(dead_logL_all),
+                u_live_h, logL_live_h, gens=it,
+            )
+            return
         # final live points: each carries X_final/n
         logw_live = logX - np.log(n)
         live_logL_sorted = np.sort(logL_live_h)
@@ -467,13 +492,20 @@ class Nested(Sampler):
         dead_u_np = np.concatenate(dead_u_all)
         dead_logL_np = np.concatenate(dead_logL_all)
         dead_logw_np = np.asarray(dead_logw_all)
-        all_u = np.concatenate([dead_u_np, np.asarray(
-            jax.device_get(u_live))])
+        all_u = np.concatenate([dead_u_np, u_live_h])
         all_logL = np.concatenate([dead_logL_np, logL_live_h])
         all_logw = np.concatenate([
             dead_logw_np, np.full(n, logw_live)
         ])
-        post_logw = all_logw + all_logL - logZ
+        self._build_collection(all_u, all_logL, all_logw)
+
+    def _build_collection(self, all_u, all_logL, all_logw,
+                          write_output: bool = True):
+        """Decorate the dead+live points and store the weighted sample."""
+        import jax
+        import jax.numpy as jnp
+
+        post_logw = all_logw + all_logL - self.logZ
         weights = np.exp(post_logw - post_logw.max())
         # decorate: x, per-like loglikes, derived (one batched call)
         _, (x, loglikes, derived) = jax.device_get(
@@ -482,7 +514,8 @@ class Nested(Sampler):
         logpriors0 = np.asarray(jax.device_get(jax.jit(jax.vmap(
             self.model.prior.logps_internal_jax
         ))(jnp.asarray(x))))
-        self.collection = SampleCollection(self.model, self.output, name="1")
+        output = self.output if write_output else None
+        self.collection = SampleCollection(self.model, output, name="1")
         self.collection.append_batch(
             np.asarray(x), np.asarray(all_logL) + logpriors0,
             logpriors0[:, None],
@@ -490,11 +523,104 @@ class Nested(Sampler):
             weights=weights, rle=False,
         )
         self.collection.out_update()
-        if self.output:
-            with open(self.output.add_suffix(
+        if output:
+            with open(output.add_suffix(
                 self.get_name() + cv.Extension.evidence, separator="."
             ), "w", encoding="utf-8") as f:
                 f.write(f"logZ = {self.logZ:.6f} +/- {self.logZstd:.6f}\n")
+
+    def _finalize_multiprocess(self, dead_u, dead_logL, u_live_h,
+                               logL_live_h, gens: int):
+        """Merge the per-process runs into one combined nested run.
+
+        Every process contributes its (ascending-logL) death sequence with
+        per-point live counts, plus its final live points treated as
+        terminal deaths with counts n..1.  The merged sequence shrinks the
+        prior volume by 1/N at each death, where N is the summed current
+        live count over the runs — the standard combination of independent
+        nested runs, statistically equivalent to one run with the total
+        number of live points (Skilling 2006 §7).  Root computes the
+        merged ledger and writes products; all ranks hold the identical
+        merged sample.
+        """
+        from ...parallel import state as pstate
+
+        n = self._nlive
+        K = self._batch
+        order = np.argsort(logL_live_h)
+        ev_logL = np.concatenate([dead_logL, logL_live_h[order]])
+        # live count just before each death: n, n-1, ... n-K+1 per
+        # generation, then n..1 over the terminal live points
+        ev_c = np.concatenate([
+            np.tile(np.arange(n, n - K, -1), gens),
+            np.arange(n, 0, -1),
+        ]).astype(np.int64)
+        ev_u = np.concatenate([dead_u, u_live_h[order]])
+        payload = {"logL": np.asarray(ev_logL, np.float64), "c": ev_c,
+                   "u": np.asarray(ev_u), "evals": int(self._n_evals)}
+        gathered = pstate.gather(payload, tag="nested-merge")
+        if pstate.is_main_process():
+            merged = self._merge_runs(gathered)
+            pstate.share(merged, tag="nested-merged")
+        else:
+            merged = pstate.share(None, tag="nested-merged")
+        self.logZ = merged["logZ"]
+        self.logZstd = merged["logZstd"]
+        self._n_evals = merged["evals"]
+        self.mpi_info(
+            "Merged evidence over %d processes: logZ = %.4f +/- %.4f "
+            "(%d points, %d evals)", self._nproc, self.logZ, self.logZstd,
+            len(merged["logL"]), self._n_evals,
+        )
+        self._build_collection(
+            merged["u"], merged["logL"], merged["logw"],
+            write_output=pstate.is_main_process(),
+        )
+
+    @staticmethod
+    def _merge_runs(gathered):
+        """Combined evidence ledger over independent runs (root only)."""
+        import heapq
+
+        runs_logL = [g["logL"] for g in gathered]
+        runs_c = [g["c"] for g in gathered]
+        R = len(gathered)
+        ptr = [0] * R
+        out_logw = [np.full(len(L), -np.inf) for L in runs_logL]
+        logX, logZ, H = 0.0, -np.inf, 0.0
+        heap = [(runs_logL[r][0], r) for r in range(R) if len(runs_logL[r])]
+        heapq.heapify(heap)
+        while heap:
+            logL, r = heapq.heappop(heap)
+            N = sum(
+                int(runs_c[q][ptr[q]]) for q in range(R)
+                if ptr[q] < len(runs_c[q])
+            )
+            d_logX = -1.0 / N
+            logw = logX + np.log(-np.expm1(d_logX))
+            logX += d_logX
+            lw = logw + logL
+            logZ_new = np.logaddexp(logZ, lw)
+            if np.isfinite(lw):
+                old_term = (
+                    np.exp(logZ - logZ_new) * (H + logZ)
+                    if np.isfinite(logZ) else 0.0
+                )
+                H = np.exp(lw - logZ_new) * float(logL) + old_term - logZ_new
+            logZ = logZ_new
+            out_logw[r][ptr[r]] = logw
+            ptr[r] += 1
+            if ptr[r] < len(runs_logL[r]):
+                heapq.heappush(heap, (runs_logL[r][ptr[r]], r))
+        n_total = sum(int(c[0]) for c in runs_c if len(c))
+        return {
+            "u": np.concatenate([g["u"] for g in gathered]),
+            "logL": np.concatenate(runs_logL),
+            "logw": np.concatenate(out_logw),
+            "logZ": float(logZ),
+            "logZstd": float(np.sqrt(max(H, 0.0) / max(n_total, 1))),
+            "evals": sum(int(g["evals"]) for g in gathered),
+        }
 
     def _cluster_live_points(self, u: np.ndarray):
         """FoF-cluster the live points; return per-point labels and the

@@ -191,6 +191,60 @@ def test_two_process_minimize_pools_best():
     assert results[0].split()[2] == "4"
 
 
+NESTED_SCRIPT = r"""
+import os
+import numpy as np
+from cobaya_tpu.run import run
+
+prefix = os.environ["TEST_PREFIX"]
+info = {
+    "params": {
+        "x0": {"prior": [-1, 1], "ref": 0.0, "proposal": 0.05},
+        "x1": {"prior": [-1, 1], "ref": 0.0, "proposal": 0.05},
+    },
+    "likelihood": {"gaussian_mixture": {
+        "means": [[0.1, -0.2]], "covs": [[[0.0016, 0.0], [0.0, 0.0009]]],
+        "input_params_prefix": "x",
+    }},
+    "sampler": {"nested": {"seed": 5, "nlive": 200,
+                            "precision_criterion": 1e-3}},
+    "output": prefix, "force": True,
+}
+upd, sampler = run(info)
+s = sampler.products()["sample"]
+print("RESULT", round(sampler.logZ, 6), round(sampler.logZstd, 6),
+      sampler._nlive, len(s), round(float(s.mean()[0]), 4))
+"""
+
+
+def test_two_process_nested_merges_runs(tmp_path):
+    """Nested sampling over 2 processes: each runs nlive/2 live points,
+    the merged run matches the analytic evidence, both ranks agree, and
+    only root writes products."""
+    port = _free_port()
+    prefix = str(tmp_path / "chains" / "ns")
+    procs = [_launch(NESTED_SCRIPT, rank, port,
+                     extra_env={"TEST_PREFIX": prefix}) for rank in (0, 1)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    results = [next(ln for ln in out.splitlines() if ln.startswith("RESULT"))
+               for out in outs]
+    # identical merged evidence/sample on both ranks
+    assert results[0] == results[1], results
+    _, logZ, logZstd, nlive_rank, n_samples, mean0 = results[0].split()
+    # each rank ran half the live points
+    assert int(nlive_rank) == 100
+    # analytic: gaussian inside [-1,1]^2 box -> logZ = -log 4
+    logZ, logZstd = float(logZ), float(logZstd)
+    assert abs(logZ - (-np.log(4.0))) < 3 * logZstd + 0.1, (logZ, logZstd)
+    assert abs(float(mean0) - 0.1) < 0.02
+    folder = str(tmp_path / "chains")
+    files = sorted(os.listdir(folder))
+    # root-only products: one merged chain, one evidence file
+    assert [f for f in files if f.endswith(".txt")] == ["ns.1.txt"], files
+    assert any(f.endswith(".logZ") for f in files), files
+
+
 POST_SCRIPT = r"""
 import os
 import numpy as np
