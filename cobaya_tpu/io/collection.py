@@ -123,6 +123,37 @@ class SampleCollection(BaseCollection):
     def weights(self) -> np.ndarray:
         return self.data[:, 0]
 
+    @property
+    def is_tempered(self) -> bool:
+        """Whether the sample was drawn at temperature != 1
+        (reference collection.py:673)."""
+        return self.temperature != 1
+
+    @property
+    def has_int_weights(self) -> bool:
+        """Whether all weights are integer (reference collection.py:681)."""
+        weights = self.weights
+        return bool(np.allclose(np.round(weights), weights))
+
+    @property
+    def n_last_out(self) -> int:
+        """Index of the last row flushed to the chain file
+        (reference collection.py:794)."""
+        return self._n_flushed
+
+    def reset(self):
+        """Drop all rows (the chain file restarts on the next flush);
+        reference collection.py:395."""
+        self._n = 0
+        self._n_flushed = 0
+
+    def to_numpy(self, dtype=None, copy: bool = False) -> np.ndarray:
+        """The sample as a (n, len(columns)) array (collection.py:686)."""
+        out = self.data
+        if copy or dtype is not None:
+            out = np.array(out, dtype=dtype)
+        return out
+
     def __repr__(self):
         return (f"SampleCollection({self.name or ''}, {self._n} rows x "
                 f"{len(self.columns)} cols)")

@@ -44,9 +44,18 @@ class Likelihood(Theory, LikelihoodInterface):
     """Base class for likelihoods."""
 
     type: Optional[str | list] = None  # aggregated chi2 labels
+    delay: float = 0  # artificial per-evaluation sleep (testing aid)
 
     def get_requirements(self):
         return {}
+
+    def wait(self):
+        """Sleep ``delay`` seconds (reference likelihood.py:140)."""
+        if getattr(self, "delay", 0):
+            import time
+
+            self.log.debug("Sleeping for %f seconds.", self.delay)
+            time.sleep(self.delay)
 
     def logp(self, _derived: dict | None = None, **params_values) -> float:
         """Eager log-likelihood; default delegates to :meth:`logp_jax`,

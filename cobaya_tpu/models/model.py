@@ -360,6 +360,7 @@ class Model(HasLogger):
             for comp in comps
         }
         providers: dict[str, Theory] = {}
+        requested_by: dict[str, dict] = {}
         dependencies: dict[str, set[str]] = {c.get_name(): set() for c in comps}
         pending = [
             (comp, dict(requirements[comp.get_name()])) for comp in comps
@@ -389,6 +390,9 @@ class Model(HasLogger):
                             [c.get_name() for c in cands], provider.get_name(),
                         )
                     providers[req_name] = provider
+                    requested_by.setdefault(
+                        provider.get_name(), {}
+                    )[req_name] = options
                     dependencies[comp.get_name()].add(provider.get_name())
                     # notify the provider: may create new conditional reqs
                     new_reqs = provider.must_provide(**{req_name: options})
@@ -439,6 +443,7 @@ class Model(HasLogger):
                 if c.get_name() in used or isinstance(c, LikelihoodInterface)
             ]
         self._component_order = order
+        self._requested_by = requested_by
         self._dependencies = dependencies
         self.provider = Provider(self, providers)
         for comp in comps:
@@ -456,6 +461,42 @@ class Model(HasLogger):
             "theory": self.theory.get_versions(add_version_field),
             "likelihood": self.likelihood.get_versions(add_version_field),
         }
+
+    def get_speeds(self, ignore_sub=False) -> dict:
+        """Measured/declared speeds per component (reference model.py:784)."""
+        return {
+            "theory": {name: c.get_speed()
+                       for name, c in self.theory.items()},
+            "likelihood": {name: c.get_speed()
+                           for name, c in self.likelihood.items()},
+        }
+
+    def requested(self) -> dict:
+        """Requirements computed by each component (reference model.py:1106)."""
+        return {name: dict(reqs)
+                for name, reqs in self._requested_by.items() if reqs}
+
+    def set_cache_size(self, n_states: int):
+        """Host-state cache depth for every component (model.py:1511)."""
+        for comp in self.components:
+            comp.set_cache_size(n_states)
+
+    def get_auto_covmat(self, params_info=None):
+        """Automatic covariance matrix for the model+data, from any theory
+        exposing a covmat database (reference model.py:1521)."""
+        if params_info is None:
+            params_info = self.parameterization.sampled_params_info()
+        try:
+            for theory in self.theory.values():
+                if hasattr(theory, "get_auto_covmat"):
+                    return theory.get_auto_covmat(
+                        params_info, self.info()["likelihood"]
+                    )
+            return None
+        except Exception as e:
+            self.log.warning("Something went wrong getting an automatic "
+                             "covariance matrix: %s", e)
+            return None
 
     def sampled_dependence(self) -> dict[str, list[Theory]]:
         """Which components must recompute when each sampled param changes."""

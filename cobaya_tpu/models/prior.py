@@ -106,19 +106,7 @@ class Prior(HasLogger):
                 raise LoggedError(
                     self.log, "Periodic parameter '%s' needs a bounded prior.", p
                 )
-            ref = info.get("ref")
-            if ref is None:
-                self.ref_pdfs.append(None)
-            elif isinstance(ref, (int, float)) and not isinstance(ref, bool):
-                self.ref_pdfs.append(float(ref))
-            elif isinstance(ref, Sequence) and len(ref) == 2 and all(
-                isinstance(v, (int, float)) for v in ref
-            ):
-                # [loc, scale] shorthand = normal ref pdf
-                self.ref_pdfs.append(get_1d_dist({"dist": "norm", "loc": ref[0],
-                                                  "scale": ref[1]}))
-            else:
-                self.ref_pdfs.append(get_1d_dist(ref))
+            self.ref_pdfs.append(self._parse_ref(info.get("ref")))
         self._uniform_idx = np.array(
             [i for i, d in enumerate(self.dists) if d.name == "uniform"], dtype=int
         )
@@ -142,6 +130,46 @@ class Prior(HasLogger):
             self.external[name] = ExternalPrior(name, spec)
             self.mpi_info("Loaded external prior '%s'", name)
         self._jax_logps_1d = None
+
+    @staticmethod
+    def _parse_ref(ref):
+        """One ref spec -> None | float | Dist1D (reference prior.py:411)."""
+        if ref is None:
+            return None
+        if isinstance(ref, (int, float)) and not isinstance(ref, bool):
+            return float(ref)
+        if isinstance(ref, Sequence) and len(ref) == 2 and all(
+            isinstance(v, (int, float)) for v in ref
+        ):
+            # [loc, scale] shorthand = normal ref pdf
+            return get_1d_dist({"dist": "norm", "loc": ref[0],
+                                "scale": ref[1]})
+        return get_1d_dist(ref)
+
+    def set_reference(self, ref_info: Mapping):
+        """Set or update reference pdfs per parameter (reference prior.py:786).
+
+        ``ref_info`` maps parameter name -> ref definition.  Parameters not
+        mentioned keep their current reference pdf; an explicit ``None``
+        resets a parameter to drawing from its prior.
+        """
+        unknown = set(ref_info) - set(self.params)
+        if unknown:
+            raise LoggedError(
+                self.log, "Cannot set reference for non-sampled params: %r",
+                sorted(unknown),
+            )
+        for p, ref in ref_info.items():
+            self.ref_pdfs[self.params.index(p)] = self._parse_ref(ref)
+
+    def covmat(self, ignore_external: bool = False) -> np.ndarray:
+        """Covariance matrix of the (separable) prior (reference prior.py:774)."""
+        if not ignore_external and self.external:
+            raise LoggedError(
+                self.log, "It is not possible to get the covariance matrix "
+                "of an external prior.",
+            )
+        return np.diag([dist.std() ** 2 for dist in self.dists])
 
     # ---- geometry -------------------------------------------------------------
     def d(self) -> int:

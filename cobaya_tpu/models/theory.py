@@ -271,6 +271,31 @@ class Theory(CobayaComponent):
         return {}
 
     @property
+    def current_derived(self) -> dict:
+        """Derived params of the current state (reference theory.py:318)."""
+        return self.get_current_derived()
+
+    @property
+    def type_list(self) -> list:
+        """Labels classifying this component (reference theory.py:322)."""
+        from ..utils.tools import str_to_list
+
+        return str_to_list(getattr(self, "type", []) or [])
+
+    @property
+    def input_params_extra(self):
+        """Params required from other components as inputs (theory.py:228)."""
+        return getattr(self, "_input_params_extra", set())
+
+    def set_cache_size(self, n: int):
+        """Number of host-side computed states to cache (theory.py:234)."""
+        self._states = deque(self._states, maxlen=max(int(n), 1))
+
+    def get_provider(self):
+        """Object exposing get_X/get_param/get_result (theory.py:327)."""
+        return self
+
+    @property
     def current_state(self) -> dict:
         # inside a jit host callback, a consumer resolves this provider's
         # per-walker state from its token (object store); the view override

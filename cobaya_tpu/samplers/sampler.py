@@ -142,6 +142,35 @@ class Sampler(CobayaComponent):
     def samples(self, **kwargs):
         return self.products(**kwargs).get("sample")
 
+    def info(self) -> dict:
+        """Copy of the info used to initialize this sampler, including
+        defaults (reference sampler.py:324)."""
+        from ..utils.tools import deepcopy_where_possible
+
+        return deepcopy_where_possible(self._input_options)
+
+    @property
+    def random_state(self) -> np.random.Generator:
+        """Alias of :attr:`rng` (reference sampler.py:245)."""
+        return self._rng
+
+    def converge_info_changed(self, old_info, new_info) -> bool:
+        """Whether convergence-relevant options differ (sampler.py:357)."""
+        return old_info != new_info
+
+    def set_checkpoint_info(self, checkpoint_info: dict):
+        """Apply a loaded checkpoint's sampler state (sampler.py:346)."""
+        for k, v in checkpoint_info["sampler"][self.get_name()].items():
+            setattr(self, k, v)
+
+    @classmethod
+    def delete_output_files(cls, output, info=None):
+        """Delete this sampler's products under the prefix (sampler.py:401)."""
+        from ..parallel import state as pstate
+
+        if output and pstate.is_main_process():
+            output.delete_infix_products()
+
     # ---- checkpointing ---------------------------------------------------------------
     @property
     def checkpoint_filename(self) -> Optional[str]:
