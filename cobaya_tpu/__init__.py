@@ -12,6 +12,10 @@ __obsolete__ = False
 __year__ = "2026"
 
 from .models.model import LogPosterior, Model, get_model
+from .models.likelihood import Likelihood
+from .models.theory import Theory
+from .utils.log import LoggedError
+from .utils.typing_ import InputDict, PostDict
 
 
 def run(*args, **kwargs):

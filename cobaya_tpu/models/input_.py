@@ -52,6 +52,33 @@ def load_input_dict(info_or_yaml_or_file) -> InputDict:
     )
 
 
+def load_input(input_file: str) -> InputDict:
+    """Load an input YAML/.dill file, defaulting the output prefix to the
+    file name (reference input.py:112)."""
+    info = load_input_dict(input_file)
+    if "output" not in info:
+        # default output prefix: the input file's base name (sans extension),
+        # relative to the invocation directory (reference input.py:117)
+        info["output"] = os.path.splitext(
+            os.path.basename(str(input_file))
+        )[0]
+    elif info["output"] is None:
+        log.warning("Output explicitly suppressed with 'output: null'")
+    return info
+
+
+def get_info_path(folder, prefix, infix=None, kind="updated") -> str:
+    """Path to an info file saved by Output (reference input.py:192)."""
+    if kind.lower() not in ("input", "updated"):
+        raise LoggedError(
+            log, "kind must be 'input' or 'updated', not %r", kind
+        )
+    from ..io.output import OutputReadOnly
+
+    out = OutputReadOnly(os.path.join(folder or ".", prefix), infix=infix)
+    return out.file_input if kind.lower() == "input" else out.file_updated
+
+
 def load_info_overrides(info: InputDict, **flags) -> InputDict:
     """Apply CLI/function-level overrides (debug, resume, force, ...)."""
     info = deepcopy_where_possible(info)

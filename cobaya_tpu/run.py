@@ -124,8 +124,13 @@ def run_script(args=None):
 
     parser.add_argument("--version", action="version", version=__version__)
     ns = parser.parse_args(args)
+    # CLI semantics: a file input defaults the output prefix to the input
+    # file's name (reference input.py:112 via run_script)
+    from .models.input_ import load_input
+
     run(
-        ns.input_file, packages_path=ns.packages_path, output=ns.output,
+        load_input(ns.input_file),
+        packages_path=ns.packages_path, output=ns.output,
         debug=ns.debug, resume=ns.resume, force=ns.force,
         minimize=ns.minimize, test=ns.test,
     )
