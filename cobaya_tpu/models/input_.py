@@ -131,6 +131,7 @@ def update_info(
             if external is not None and (
                 not isinstance(external, str)
                 or external.lstrip().startswith("lambda")
+                or "import_module(" in external
             ):
                 # external callables/classes/string-lambdas: defaults come
                 # from the object itself

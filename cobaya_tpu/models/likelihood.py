@@ -126,14 +126,21 @@ class LikelihoodExternalFunction(Likelihood):
         sig = inspect.signature(external)
         self._self_arg = "_self" in argnames
         self._derived_arg = "_derived" in argnames
+        self._has_var_kwargs = any(
+            p.kind is inspect.Parameter.VAR_KEYWORD
+            for p in sig.parameters.values()
+        )
         self._input_arg_names = [
             a for a in argnames if a not in ("_self", "_derived")
+            and sig.parameters[a].kind is not inspect.Parameter.VAR_KEYWORD
             and sig.parameters[a].default is inspect.Parameter.empty
         ]
         self._optional_args = [
             a for a in argnames if a not in ("_self", "_derived")
+            and sig.parameters[a].kind is not inspect.Parameter.VAR_KEYWORD
             and sig.parameters[a].default is not inspect.Parameter.empty
         ]
+        self._jittable: bool | None = None
         base_info = {
             k: v for k, v in info.items()
             if k not in ("external", "requires", "input_params", "output_params")
@@ -152,9 +159,14 @@ class LikelihoodExternalFunction(Likelihood):
     def get_can_support_params(self):
         return self._optional_args
 
-    def logp_jax(self, params, provider_products=None):
-        kwargs = {p: params[p] for p in params if p in
-                  set(self._input_arg_names) | set(self._optional_args)}
+    def _accepted_params(self, params) -> list:
+        accepted = set(self._input_arg_names) | set(self._optional_args)
+        if self._has_var_kwargs:
+            accepted |= set(self.input_params)
+        return [p for p in params if p in accepted]
+
+    def _call_external(self, kwargs: dict):
+        """One evaluation: returns ``(logp, derived_dict)``."""
         derived: dict = {}
         if self._self_arg:
             kwargs["_self"] = self
@@ -170,6 +182,53 @@ class LikelihoodExternalFunction(Likelihood):
         else:
             logp = result
         return logp, derived
+
+    def logp_jax(self, params, provider_products=None):
+        """Traced evaluation; probes jittability once and falls back to a
+        ``jax.pure_callback`` for numpy-style callables (same contract as
+        ExternalPrior.logp_traced; reference evaluates on the host
+        unconditionally, likelihood.py:228)."""
+        import jax
+        import jax.numpy as jnp
+
+        names = self._accepted_params(params)
+        vals = [params[p] for p in names]
+        dtype = (jnp.result_type(*[jnp.asarray(v) for v in vals])
+                 if vals else jnp.float32)
+        if self._jittable is None:
+            try:
+                jax.eval_shape(
+                    lambda *a: jnp.asarray(
+                        self._call_external(dict(zip(names, a)))[0], dtype
+                    ),
+                    *[jax.ShapeDtypeStruct((), dtype) for _ in vals],
+                )
+                self._jittable = True
+            except Exception:
+                self._jittable = False
+                self.mpi_info(
+                    "External function '%s' is not jax-traceable; evaluating "
+                    "through a host callback.", self.get_name(),
+                )
+        if self._jittable:
+            return self._call_external(dict(zip(names, vals)))
+        out_params = list(self.output_params)
+
+        def host(*a):
+            logp, derived = self._call_external(
+                {n: np.asarray(v) for n, v in zip(names, a)}
+            )
+            dvec = np.asarray([derived.get(p, np.nan) for p in out_params],
+                              dtype=dtype)
+            return np.asarray(logp, dtype=dtype), dvec
+
+        logp, dvec = jax.pure_callback(
+            host,
+            (jax.ShapeDtypeStruct((), dtype),
+             jax.ShapeDtypeStruct((len(out_params),), dtype)),
+            *vals, vmap_method="sequential",
+        )
+        return logp, dict(zip(out_params, dvec))
 
 
 class LikelihoodCollection(ComponentCollection):
@@ -187,6 +246,9 @@ class LikelihoodCollection(ComponentCollection):
                 self.add_instance(name, info)
                 continue
             if callable(info) and not isinstance(info, type):
+                info = {"external": info}
+            elif isinstance(info, str):
+                # bare string lambda shorthand (reference input.py:249)
                 info = {"external": info}
             info = dict(info or {})
             if "external" in info:

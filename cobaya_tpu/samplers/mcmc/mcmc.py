@@ -375,7 +375,8 @@ class MCMC(CovmatSampler):
     def _make_collections(self):
         from ...parallel import state as pstate
 
-        n_out = min(self.output_chains, self.n_chains)
+        # can only write walkers that are actually fetched from the device
+        n_out = min(self.output_chains, self.n_chains, self._n_fetch)
         # multi-process runs interleave chain numbers across ranks, like
         # the reference's one-chain-per-MPI-rank naming (output.py:546)
         offset = pstate.process_index() * n_out

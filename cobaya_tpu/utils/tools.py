@@ -124,18 +124,24 @@ def get_external_function(spec, name: str | None = None) -> Callable:
         "stats": traced_stats,
         "lambda_": None,
     }
+    import importlib
+
+    namespace["import_module"] = importlib.import_module
     try:
         tree = ast.parse(spec, mode="eval")
-        if not isinstance(tree.body, ast.Lambda):
-            raise SyntaxError("not a lambda")
         fn = eval(compile(tree, "<input-function>", "eval"), namespace)  # noqa: S307
+        if not callable(fn):
+            raise SyntaxError("expression does not evaluate to a callable")
     except SyntaxError as exc:
         raise LoggedError(
-            log, "Could not parse '%s' as a lambda expression: %s", spec, exc
+            log, "Could not parse '%s' as a function: %s", spec, exc
         ) from exc
-    fn.__doc__ = spec
-    if name:
-        fn.__name__ = name
+    try:
+        fn.__doc__ = spec
+        if name:
+            fn.__name__ = name
+    except (AttributeError, TypeError):
+        pass  # imported/builtin callables may not accept metadata
     return fn
 
 
@@ -408,9 +414,14 @@ class Pool1D:
     def update(self, values):
         self._values.update(float(v) for v in np.atleast_1d(values))
 
+    d = 1
+
     @property
     def values(self) -> np.ndarray:
         return np.array(sorted(self._values))
+
+    def __getitem__(self, idx):
+        return self.values[idx]
 
     def indices(self, values) -> np.ndarray:
         pool = self.values
@@ -419,6 +430,26 @@ class Pool1D:
         if not np.allclose(pool[np.clip(idx, 0, len(pool) - 1)], req):
             raise LoggedError(log, "Requested values not in pool: %s", req)
         return idx
+
+    def find_indices(self, values, rtol: float = 1e-3,
+                     atol: float = 1e-6) -> np.ndarray:
+        """Indices of the pool elements closest to ``values``, matched within
+        tolerance; raises ValueError on a miss (reference tools.py:1334)."""
+        pool = self.values
+        req = np.atleast_1d(np.asarray(values, dtype=float).squeeze())
+        req = req.reshape(-1)
+        hi = np.clip(np.searchsorted(pool, req), 0, len(pool) - 1)
+        lo = np.clip(hi - 1, 0, len(pool) - 1)
+        pick = np.where(
+            np.abs(pool[hi] - req) <= np.abs(pool[lo] - req), hi, lo
+        )
+        ok = np.isclose(pool[pick], req, rtol=rtol, atol=atol)
+        if not np.all(ok):
+            raise ValueError(
+                f"Could not find {req[~ok]} in pool (closest: "
+                f"{pool[pick[~ok]]})"
+            )
+        return pick
 
 
 class Pool2D:
@@ -433,9 +464,14 @@ class Pool2D:
         for pair in np.atleast_2d(values):
             self._values.add((float(pair[0]), float(pair[1])))
 
+    d = 2
+
     @property
     def values(self) -> np.ndarray:
         return np.array(sorted(self._values))
+
+    def __getitem__(self, idx):
+        return self.values[idx]
 
     def indices(self, values) -> np.ndarray:
         pool = [tuple(p) for p in self.values.tolist()]
@@ -445,6 +481,22 @@ class Pool2D:
             return np.array([lookup[(float(a), float(b))] for a, b in req])
         except KeyError as exc:
             raise LoggedError(log, "Requested pair not in pool: %s", exc) from exc
+
+    def find_indices(self, values, rtol: float = 1e-3,
+                     atol: float = 1e-6) -> np.ndarray:
+        """Indices of pool pairs matching ``values`` within tolerance;
+        raises ValueError on a miss (reference tools.py:1334)."""
+        pool = self.values
+        req = np.atleast_2d(np.asarray(values, dtype=float))
+        out = np.empty(len(req), dtype=int)
+        for i, pair in enumerate(req):
+            close = np.flatnonzero(
+                np.all(np.isclose(pool, pair, rtol=rtol, atol=atol), axis=1)
+            )
+            if not len(close):
+                raise ValueError(f"Could not find {pair} in pool.")
+            out[i] = close[0]
+        return out
 
 
 def ensure_callback_thread_x64(specs) -> None:
