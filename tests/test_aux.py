@@ -290,3 +290,35 @@ def test_device_cl_bounds_statistic():
     half2 = jax.device_get(jax.jit(cl_bounds_stats_jax)(ring2[:, 256:]))
     r_pooled = pool_cl_bounds_stats([half1, half2])
     assert np.isclose(r_pooled, r_dev2, rtol=1e-5), (r_pooled, r_dev2)
+
+
+def test_pool1d_find_indices():
+    """Tolerant retrieval from a 1D computation pool (reference
+    tests/test_pools.py:29)."""
+    from cobaya_tpu.utils.tools import Pool1D
+
+    rng = np.random.default_rng(5)
+    values = rng.random(500)
+    pool = Pool1D(values)
+    req = rng.choice(values, 100) * (1 + 1e-12)  # tiny relative perturbation
+    req[-1] = req[0]  # duplicates allowed
+    idx = pool.find_indices(req)
+    assert np.allclose(pool[idx], req, atol=1e-8)
+    with pytest.raises(ValueError):
+        pool.find_indices([2.0])  # out of range
+
+
+def test_pool2d_find_indices():
+    """Tolerant retrieval of 2D pairs (reference tests/test_pools.py:50)."""
+    from cobaya_tpu.utils.tools import Pool2D
+
+    rng = np.random.default_rng(7)
+    values = rng.random((300, 2))
+    pool = Pool2D(values)
+    pick = rng.integers(0, len(pool.values), 50)
+    req = pool.values[pick] * (1 + 1e-12)
+    idx = pool.find_indices(req)
+    assert np.allclose(pool[idx], req, atol=1e-8)
+    with pytest.raises(ValueError):
+        pool.find_indices([[5.0, 5.0]])
+    assert pool.d == 2
