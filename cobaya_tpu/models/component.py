@@ -95,7 +95,11 @@ class HasDefaults:
 
     @classmethod
     def get_class_path(cls) -> str:
-        return os.path.dirname(os.path.abspath(inspect.getfile(cls)))
+        try:
+            return os.path.dirname(os.path.abspath(inspect.getfile(cls)))
+        except (TypeError, OSError):
+            # classes defined interactively / via exec have no source file
+            return ""
 
     @classmethod
     def get_root_file_name(cls) -> str:

@@ -65,10 +65,19 @@ class Likelihood(Theory, LikelihoodInterface):
         if self.provider is not None:
             for comp in self.provider.requirement_providers.values():
                 provider_products.setdefault(comp.get_name(), comp.current_state)
-        logp, derived = self.logp_jax(params_values, provider_products)
+        logp, derived = self._split_logp_jax(
+            self.logp_jax(params_values, provider_products)
+        )
         if _derived is not None and derived:
             _derived.update(derived)
         return logp
+
+    @staticmethod
+    def _split_logp_jax(result):
+        """``logp_jax`` may return a bare scalar or ``(logp, derived)``."""
+        if isinstance(result, tuple):
+            return result[0], (result[1] or {})
+        return result, {}
 
     def logp_jax(
         self, params: Mapping[str, Any],
@@ -88,7 +97,9 @@ class Likelihood(Theory, LikelihoodInterface):
             state["derived"] = derived
 
     def calculate_jax(self, params, want_derived=True, provider_products=None):
-        logp, derived = self.logp_jax(params, provider_products)
+        logp, derived = self._split_logp_jax(
+            self.logp_jax(params, provider_products)
+        )
         return {"logp": logp}, (derived if want_derived else {})
 
     def marginal(self, directions=None, params_values=None):

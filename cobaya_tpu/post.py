@@ -296,7 +296,28 @@ def post(info_or_yaml_or_file, sample=None):
     log.info("Post-processing done: %d points, efficiency %.3f",
              len(weights_all),
              stats["eff_samples"] / max(len(weights_all), 1))
-    updated = deepcopy_where_possible(info)
+    # the returned updated info is the combined OUTPUT model (input info
+    # with removals applied and additions merged), as the reference's
+    # ``out_combined`` (post.py:848)
+    updated = deepcopy_where_possible(dict(info_in))
+    upd_params = dict(updated.get("params") or {})
+    for p in remove_params:
+        upd_params.pop(p, None)
+    upd_params.update(add_updated.get("params") or {})
+    updated["params"] = upd_params
+    upd_likes = dict(updated.get("likelihood") or {})
+    for name in remove_likes:
+        upd_likes.pop(name, None)
+    upd_likes.update({k: v for k, v in
+                      (add_updated.get("likelihood") or {}).items()
+                      if k != "one"})
+    updated["likelihood"] = upd_likes
+    upd_priors = dict(updated.get("prior") or {})
+    for name in remove_priors:
+        upd_priors.pop(name, None)
+    upd_priors.update(add_updated.get("prior") or {})
+    if upd_priors:
+        updated["prior"] = upd_priors
     updated["post"] = {"add": add_updated, "remove": remove,
                        "suffix": suffix}
     if output_out:

@@ -194,6 +194,16 @@ _Dumper.add_representer(tuple, _represent_tuple)
 _Dumper.add_multi_representer(type(yaml_load), _represent_callable)  # functions
 
 
+def _represent_opaque(dumper, data):
+    # non-representable python objects (classes, instances) dump as `true`,
+    # like the reference (yaml.py:263): the updated-info yaml then records
+    # that the entry was given, without trying to serialize it
+    return dumper.represent_scalar("tag:yaml.org,2002:bool", "true")
+
+
+_Dumper.add_multi_representer(object, _represent_opaque)
+
+
 def yaml_dump(data: Any, stream=None, **kwargs) -> str:
     # Convert JAX arrays to numpy lazily (avoid importing jax here).
     return yaml.dump(
