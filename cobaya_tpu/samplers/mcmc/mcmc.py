@@ -22,7 +22,7 @@ learning a new proposal never recompiles.
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional, Union
+from typing import Any, Callable, Optional, Union
 
 import numpy as np
 
@@ -104,6 +104,10 @@ class MCMC(CovmatSampler):
     fetch_chains: Optional[int]
     pipeline_epochs: bool
     precision: str
+    # deprecated reference options (accepted with a warning)
+    check_every: Optional[Union[int, str]]
+    oversample: Optional[Any]
+    drag_limits: Optional[Any]
 
     supports_periodic_params = True
 
@@ -123,6 +127,18 @@ class MCMC(CovmatSampler):
         self.d = len(model.parameterization.sampled_params())
         if self.d == 0:
             raise LoggedError(self.log, "No sampled parameters!")
+        # deprecated reference options, accepted for input compatibility
+        # (reference mcmc.yaml:76-80)
+        if getattr(self, "check_every", None) is not None:
+            self.mpi_warning(
+                "Option 'check_every' is deprecated: using it as "
+                "'learn_every'.")
+            self.learn_every = self.check_every
+        for dep in ("oversample", "drag_limits"):
+            if getattr(self, dep, None) is not None:
+                self.mpi_warning(
+                    "Option '%s' is deprecated and ignored: use "
+                    "'oversample_power' instead.", dep)
         self._dtype = jnp.dtype(self.precision)
         # device mesh: shard walkers across all visible devices
         n_dev = len(jax.devices())

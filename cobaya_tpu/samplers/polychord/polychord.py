@@ -18,7 +18,7 @@ _IGNORED = {
     "write_live", "write_dead", "write_prior", "maximise", "boost_posterior",
     "compression_factor", "synchronous", "base_dir", "file_root", "grade_dims",
     "grade_frac", "nlives", "logzero", "max_ndead", "oversample_power",
-    "blocking", "measure_speeds", "callback_function",
+    "blocking", "measure_speeds", "callback_function", "path",
 }
 
 
