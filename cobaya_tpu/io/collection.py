@@ -32,12 +32,17 @@ _OUT_FMT = "%17.8g"
 
 
 def apply_temperature_weights(weights, logpost, temperature):
-    """Convert tempered-chain weights to physical-posterior weights."""
+    """Convert tempered-chain weights to physical-posterior weights.
+
+    ``logpost`` is the TEMPERED log-posterior (the chain samples the full
+    posterior to the power 1/T); the detempering factor is
+    ``exp((T-1) * logpost_T)`` normalized to max 1 (reference
+    collection.py:123-140).
+    """
     if temperature == 1:
         return weights
-    # tempered posterior p^(1/T): detempered weight w * p^(1-1/T)
-    logp = -np.asarray(logpost)  # minuslogpost stored; here logpost given
-    return weights * np.exp((1 - 1 / temperature) * (logp - logp.max()))
+    logp_t = np.asarray(logpost)
+    return weights * np.exp((temperature - 1) * (logp_t - logp_t.max()))
 
 
 class BaseCollection(HasLogger):
@@ -254,15 +259,18 @@ class SampleCollection(BaseCollection):
         last = self._n if last is None else int(last)
         return slice(first, last)
 
-    def _detempered_weights(self, sl) -> np.ndarray:
+    def _detempered_weights(self, sl, shift=None) -> np.ndarray:
         w = self.data[sl, 0]
         if self.temperature == 1:
             return w
-        # chain samples prior * L^(1/T); true-posterior importance weights are
-        # L^(1 - 1/T) with logL = -chi2/2 (reference collection.py:688-764)
-        loglike = -0.5 * self.data[sl, self._icol(cv.OUT_CHI2)]
-        shift = loglike.max()
-        return w * np.exp((1 - 1 / self.temperature) * (loglike - shift))
+        # the chain samples p^(1/T) of the FULL posterior; true-posterior
+        # importance weights are p^(1-1/T) = exp((T-1)*logpost_T) up to
+        # normalization (reference collection.py:123-140, 688-732).
+        # ``shift`` lets a batch of chains share one normalization point.
+        logpost_t = -self.data[sl, 1]  # tempered logpost, p^(1/T)
+        if shift is None:
+            shift = logpost_t.max()
+        return w * np.exp((self.temperature - 1) * (logpost_t - shift))
 
     def mean(self, first=None, last=None, derived: bool = False,
              pweight: bool = False) -> np.ndarray:
@@ -307,15 +315,34 @@ class SampleCollection(BaseCollection):
         out = self._empty_like(temperature=1.0)
         rows = self.data.copy()
         rows[:, 0] = self._detempered_weights(slice(0, self._n))
+        if self.temperature != 1:
+            rows[:, 1] *= self.temperature  # -logpost_T -> -logpost
         out.append_rows(rows)
         return out
 
-    def reset_temperature(self):
-        """In-place detempering (reference collection.py:688-764)."""
-        if self.temperature == 1:
+    def reset_temperature(self, with_batch=None):
+        """In-place detempering (reference collection.py:741-764).
+
+        Pass sibling chains of the same run as ``with_batch`` so all share
+        one weight normalization (they are detempered in place too).
+        """
+        batch = [self] + list(with_batch or [])
+        if all(c.temperature == 1 for c in batch):
             return self
-        self._data[: self._n, 0] = self._detempered_weights(slice(0, self._n))
-        self.temperature = 1.0
+        temps = {c.temperature for c in batch}
+        if len(temps) > 1:
+            raise LoggedError(
+                self.log, "Temperature inconsistent across the batch: %r",
+                sorted(temps),
+            )
+        shift = max(float((-c.data[: c._n, 1]).max()) for c in batch
+                    if c._n)
+        for c in batch:
+            c._data[: c._n, 0] = c._detempered_weights(
+                slice(0, c._n), shift=shift
+            )
+            c._data[: c._n, 1] *= c.temperature
+            c.temperature = 1.0
         return self
 
     def reweight(self, importance_weights, inplace: bool = False):
@@ -447,7 +474,9 @@ class SampleCollection(BaseCollection):
         mlp = rows[:, self._icol(cv.OUT_MINUSLOGPOST)]
         mlprior = rows[:, self._icol(cv.OUT_MINUSLOGPRIOR)]
         chi2 = rows[:, self._icol(cv.OUT_CHI2)]
-        expected = mlprior + chi2 / 2 * (1 / self.temperature)
+        # full-posterior tempering: logpost_T = (logprior + loglike)/T
+        # (reference collection.py:102-120 infers T from this ratio)
+        expected = (mlprior + chi2 / 2) / self.temperature
         finite = np.isfinite(mlp) & np.isfinite(expected)
         if finite.any() and not np.allclose(
             mlp[finite], expected[finite], rtol=1e-4, atol=1e-3

@@ -338,8 +338,15 @@ def load_samples(prefix: str, to_getdist: bool = False,
         raise LoggedError(
             None, "No chain files found for prefix '%s'", prefix
         )
+    # the run's sampling temperature is recorded in the updated info; a
+    # tempered chain's weights/logpost only make sense with it (reference
+    # output.py:850 reads it the same way)
+    temperature = 1.0
+    info = out.get_updated_info()
+    for sampler_block in (info or {}).get("sampler", {}).values():
+        temperature = float((sampler_block or {}).get("temperature") or 1.0)
     collections = [
-        SampleCollection.load(f, name=str(i + 1))
+        SampleCollection.load(f, name=str(i + 1), temperature=temperature)
         for i, f in enumerate(files)
     ]
     if skip:

@@ -170,6 +170,17 @@ class LikelihoodExternalFunction(Likelihood):
     def get_can_support_params(self):
         return self._optional_args
 
+    def logp(self, _derived: dict | None = None, **params_values):
+        """Eager host evaluation: call the external function directly (no
+        tracing machinery — this is the host-callback bridge's path)."""
+        names = self._accepted_params(params_values)
+        logp, derived = self._call_external(
+            {n: params_values[n] for n in names}
+        )
+        if _derived is not None and derived:
+            _derived.update(derived)
+        return logp
+
     def _accepted_params(self, params) -> list:
         accepted = set(self._input_arg_names) | set(self._optional_args)
         if self._has_var_kwargs:

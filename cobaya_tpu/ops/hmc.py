@@ -42,7 +42,11 @@ def make_hmc_epoch_fn(
 
     def tempered(x):
         _, lpri, llik, _ = logpost_fn(x)
-        return jnp.sum(lpri) + inv_T * jnp.sum(llik)
+        # full-posterior tempering (reference collection.py:75-84);
+        # T==1 keeps the exact jaxpr (compile-cache stability)
+        if temperature == 1:
+            return jnp.sum(lpri) + inv_T * jnp.sum(llik)
+        return inv_T * (jnp.sum(lpri) + jnp.sum(llik))
 
     value_and_grad = jax.value_and_grad(tempered)
 
@@ -76,7 +80,9 @@ def make_hmc_epoch_fn(
         if periodic_wrap is not None:
             x_new = periodic_wrap(x_new)
         lp_new, lpri_new, llik_new, der_new = logpost_fn(x_new)
-        tlp_new = jnp.sum(lpri_new) + inv_T * jnp.sum(llik_new)
+        tlp_new = (jnp.sum(lpri_new) + inv_T * jnp.sum(llik_new)
+                   if temperature == 1 else
+                   inv_T * (jnp.sum(lpri_new) + jnp.sum(llik_new)))
         u_new = cov_chol.T @ p_new
         kinetic_new = 0.5 * jnp.sum(u_new * u_new)
         dH = (tlp_new - kinetic_new) - (tlp - kinetic0)

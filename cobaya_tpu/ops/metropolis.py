@@ -82,7 +82,11 @@ def make_epoch_fn(
     inv_T = 1.0 / float(temperature)
 
     def tempered(logpriors, loglikes):
-        return jnp.sum(logpriors, -1) + inv_T * jnp.sum(loglikes, -1)
+        # cobaya semantics: the FULL posterior is tempered, p^(1/T)
+        # (reference collection.py:75-84); T==1 keeps the exact jaxpr
+        if temperature == 1:
+            return jnp.sum(logpriors, -1) + inv_T * jnp.sum(loglikes, -1)
+        return inv_T * (jnp.sum(logpriors, -1) + jnp.sum(loglikes, -1))
 
     def one_step(carry: MCMCCarry, block_index, direction, transforms,
                  dir_mask, block_sizes, scale):
@@ -200,7 +204,9 @@ def init_carry(key, x0, logpost_fn, dtype=None,
     return MCMCCarry(
         key=keys,
         x=x0,
-        logpost=jnp.sum(lpri, -1) + jnp.sum(llik, -1) / temperature,
+        logpost=(jnp.sum(lpri, -1) + jnp.sum(llik, -1) / temperature
+                 if temperature == 1 else
+                 (jnp.sum(lpri, -1) + jnp.sum(llik, -1)) / temperature),
         logpriors=lpri,
         loglikes=llik,
         derived=der,

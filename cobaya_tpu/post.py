@@ -108,6 +108,14 @@ def post(info_or_yaml_or_file, sample=None):
         if thin != 1:
             collections = [c.thin_samples(thin) for c in collections]
 
+    # tempered chains: detemper all together (shared weight normalization)
+    # before reweighting, as the reference does (post.py:253-264)
+    if any(getattr(c, "temperature", 1) != 1 for c in collections):
+        log.info("Starting from tempered chains; detempering before "
+                 "post-processing.")
+        collections = [c.copy() for c in collections]
+        collections[0].reset_temperature(with_batch=collections[1:])
+
     sampled_params = list(info_in.get("params") or {})
     # restrict to actually-sampled params using the first collection's schema
     chain_sampled = collections[0].sampled_params

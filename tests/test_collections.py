@@ -19,7 +19,8 @@ def fill(coll, n=100, seed=0):
     loglikes = -0.5 * (x**2).sum(1, keepdims=True)
     logpriors = np.full((n, 1), -1.0)
     derived = x.sum(1, keepdims=True)
-    logpost = loglikes.sum(1) + logpriors.sum(1)
+    # a T-tempered sampler records logpost_T = (logprior + loglike)/T
+    logpost = (loglikes.sum(1) + logpriors.sum(1)) / coll.temperature
     coll.append_batch(x, logpost, logpriors, loglikes, derived, rle=False)
     return x
 
@@ -89,14 +90,28 @@ def test_bestfit_map():
 def test_detempering():
     coll = make_coll(temperature=2.0)
     x = fill(coll, 2000, seed=3)
-    # detempered weights proportional to L^(1/2)
+    # chain samples p^(1/2): detempered weights are p^(1/2) (normalized),
+    # with logpost_T the recorded (tempered) column
     w_det = coll._detempered_weights(slice(0, len(coll)))
-    loglike = -0.5 * coll["chi2"]
-    expected = np.exp(0.5 * (loglike - loglike.max()))
+    logpost_t = -coll["minuslogpost"]
+    expected = np.exp((2 - 1) * (logpost_t - logpost_t.max()))
     assert np.allclose(w_det, expected)
     coll2 = coll.detempered_copy()
     assert coll2.temperature == 1
     assert np.allclose(coll2.weights, expected)
+    # the copy's minuslogpost is the untempered -(logprior + loglike)
+    assert np.allclose(coll2["minuslogpost"], 1.0 + 0.5 * coll2["chi2"])
+    # batch detempering shares one normalization across chains
+    c1 = make_coll(temperature=2.0)
+    c2 = make_coll(temperature=2.0)
+    fill(c1, 500, seed=5)
+    fill(c2, 500, seed=6)
+    c1.reset_temperature(with_batch=[c2])
+    assert c1.temperature == 1 and c2.temperature == 1
+    shift = max((-0.5 * np.asarray(c["chi2"]) - 1.0).max() / 2
+                for c in (c1, c2))
+    lp_t1 = (-0.5 * np.asarray(c1["chi2"]) - 1.0) / 2
+    assert np.allclose(c1.weights, np.exp(lp_t1 - shift))
 
 
 def test_reweight():
