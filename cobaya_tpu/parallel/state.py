@@ -153,23 +153,35 @@ def share(value: Any = None, root: int = 0, tag: str = "share") -> Any:
 share_mpi = share  # reference-compatible name
 
 
-def sync_point(tag: str = "sync-point", timeout_ms: int = 600_000) -> None:
-    """Counter-free barrier under a fixed tag (unique per logical use).
+_tag_seq: dict = {}
 
-    Works even when ranks' collective counters have diverged (root-only
-    work); every rank publishes its arrival and blocks until all ranks
-    have.  Use before process exit after asymmetric work so the
-    coordination-service host doesn't tear down while peers still read.
+
+def _next_tag(tag: str) -> str:
+    """Unique key per logical use of a tag: every rank performs the same
+    sequence of calls, so a per-tag local counter stays in lockstep."""
+    n = _tag_seq.get(tag, 0)
+    _tag_seq[tag] = n + 1
+    return f"{tag}/{n}"
+
+
+def sync_point(tag: str = "sync-point", timeout_ms: int = 600_000) -> None:
+    """Counter-free barrier (safe after ranks' collective counters have
+    diverged through root-only work).
+
+    Every rank publishes its arrival and blocks until all ranks have.  Use
+    before process exit after asymmetric work so the coordination-service
+    host doesn't tear down while peers still read.
     """
     if not more_than_one_process():
         return
     client = _distributed_client()
     me = process_index()
-    client.key_value_set_bytes(f"cobaya_tpu/syncpt/{tag}/{me}", b"1")
+    tag = _next_tag("syncpt/" + tag)
+    client.key_value_set_bytes(f"cobaya_tpu/{tag}/{me}", b"1")
     for i in range(process_count()):
         if i != me:
             client.blocking_key_value_get_bytes(
-                f"cobaya_tpu/syncpt/{tag}/{i}", timeout_ms
+                f"cobaya_tpu/{tag}/{i}", timeout_ms
             )
 
 
@@ -180,7 +192,8 @@ def share_value(value: Any = None, root: int = 0,
     ``share`` keys embed a per-process collective counter, so every rank
     must execute the same sequence of collectives.  Use this instead when
     ranks may have diverged (e.g. root-only work whose result the peers
-    wait for); ``tag`` must then be unique per logical exchange.
+    wait for); repeated uses of the same ``tag`` get distinct keys through
+    a per-tag sequence counter.
     """
     if not more_than_one_process():
         return value
@@ -189,7 +202,7 @@ def share_value(value: Any = None, root: int = 0,
         raise LoggedError(
             log, "Multi-process run without jax.distributed initialized."
         )
-    key = f"cobaya_tpu/once/{tag}/{root}"
+    key = f"cobaya_tpu/once/{_next_tag(tag)}/{root}"
     if process_index() == root:
         client.key_value_set_bytes(key, pickle.dumps(value))
         return value

@@ -277,6 +277,11 @@ info = {
 upd, res = post(info)
 print("RESULT", round(res.stats["eff_samples"], 4),
       int(res.sample is not None))
+# a second post() in the same session must not collide on KV keys
+info2 = {"output": prefix, "post": {"suffix": "q", "add": {
+    "params": {"s": {"derived": "lambda x0, x1: x0 + x1"}}}}}
+upd2, res2 = post(info2)
+print("RESULT2", round(res2.stats["eff_samples"], 4))
 """
 
 
@@ -300,3 +305,10 @@ def test_two_process_post_root_gated(tmp_path):
     assert {r.split()[2] for r in results} == {"0", "1"}
     post_files = glob.glob(prefix + ".post.p.*.txt")
     assert post_files, "root wrote post products"
+    # the second post() (repeated KV tags) also agreed across ranks
+    results2 = sorted(
+        next(ln for ln in out.splitlines() if ln.startswith("RESULT2"))
+        for out in outs
+    )
+    assert results2[0] == results2[1], results2
+    assert glob.glob(prefix + ".post.q.*.txt")
