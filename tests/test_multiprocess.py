@@ -57,7 +57,7 @@ info = {
         "means": [[0.1, -0.2]], "covs": [[[0.6, 0.1], [0.1, 0.4]]],
         "input_params_prefix": "x",
     }},
-    "sampler": {"mcmc": {
+    "sampler": {os.environ.get("TEST_SAMPLER", "mcmc"): {
         "seed": 7, "n_chains": 16, "max_samples": 3000,
         "learn_every": 250, "Rminus1_stop": 0.05, "burn_in": 0,
         "measure_speeds": False, "output_chains": 1, "fetch_chains": 8,
@@ -72,11 +72,13 @@ print("RESULT", sampler.n_steps, int(sampler.converged),
 
 
 
-def test_two_process_mcmc_sync(tmp_path):
+@pytest.mark.parametrize("kernel", ["mcmc", "hmc"])
+def test_two_process_mcmc_sync(tmp_path, kernel):
     port = _free_port()
     prefix = str(tmp_path / "chains" / "mp")
     procs = [
-        _launch(RUN_SCRIPT, rank, port, {"TEST_PREFIX": prefix})
+        _launch(RUN_SCRIPT, rank, port,
+                {"TEST_PREFIX": prefix, "TEST_SAMPLER": kernel})
         for rank in range(2)
     ]
     outs = []
