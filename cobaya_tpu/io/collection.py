@@ -335,6 +335,10 @@ class SampleCollection(BaseCollection):
                 self.log, "Temperature inconsistent across the batch: %r",
                 sorted(temps),
             )
+        if not any(c._n for c in batch):  # nothing to reweight
+            for c in batch:
+                c.temperature = 1.0
+            return self
         shift = max(float((-c.data[: c._n, 1]).max()) for c in batch
                     if c._n)
         for c in batch:
@@ -558,7 +562,8 @@ class SampleCollection(BaseCollection):
         return MCSamples(
             samples=self.data[:, i0:i0 + len(names)],
             weights=self._detempered_weights(slice(0, self._n)),
-            loglikes=self.data[:, 1],
+            # detempered -logpost: the stored column is the tempered value
+            loglikes=self.data[:, 1] * self.temperature,
             names=names,
         )
 

@@ -235,8 +235,13 @@ class LikelihoodExternalFunction(Likelihood):
         if self._jittable:
             return self._call_external(dict(zip(names, vals)))
         out_params = list(self.output_params)
+        specs = (jax.ShapeDtypeStruct((), dtype),
+                 jax.ShapeDtypeStruct((len(out_params),), dtype))
 
         def host(*a):
+            from ..utils.tools import ensure_callback_thread_x64
+
+            ensure_callback_thread_x64(specs)
             logp, derived = self._call_external(
                 {n: np.asarray(v) for n, v in zip(names, a)}
             )
@@ -245,10 +250,7 @@ class LikelihoodExternalFunction(Likelihood):
             return np.asarray(logp, dtype=dtype), dvec
 
         logp, dvec = jax.pure_callback(
-            host,
-            (jax.ShapeDtypeStruct((), dtype),
-             jax.ShapeDtypeStruct((len(out_params),), dtype)),
-            *vals, vmap_method="sequential",
+            host, specs, *vals, vmap_method="sequential",
         )
         return logp, dict(zip(out_params, dvec))
 

@@ -65,13 +65,16 @@ class ExternalPrior:
         if self._jittable:
             return jnp.asarray(self.func(*args), dtype)
         func = np.vectorize(self.func, otypes=[np.float64])
+        spec = jax.ShapeDtypeStruct((), dtype)
 
         def host(*a):
+            from ..utils.tools import ensure_callback_thread_x64
+
+            ensure_callback_thread_x64([spec])
             return np.asarray(func(*a), dtype=dtype)
 
         return jax.pure_callback(
-            host, jax.ShapeDtypeStruct((), dtype), *args,
-            vmap_method="expand_dims",
+            host, spec, *args, vmap_method="expand_dims",
         )
 
 

@@ -289,7 +289,12 @@ class Theory(CobayaComponent):
 
     def set_cache_size(self, n: int):
         """Number of host-side computed states to cache (theory.py:234)."""
-        self._states = deque(self._states, maxlen=max(int(n), 1))
+        import itertools
+
+        n = max(int(n), 1)
+        # _states is newest-first; keep the n newest (a plain deque(...,
+        # maxlen=n) would evict from the left and keep the oldest)
+        self._states = deque(itertools.islice(self._states, n), maxlen=n)
 
     def get_provider(self):
         """Object exposing get_X/get_param/get_result (theory.py:327)."""

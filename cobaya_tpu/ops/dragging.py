@@ -46,31 +46,30 @@ def make_drag_epoch_fn(
     n_drag = max(int(drag_interp_steps), 1)
 
     def tempered(logpriors, loglikes):
-        # full-posterior tempering (reference collection.py:75-84)
+        # full-posterior tempering (reference collection.py:75-84); the
+        # T==1 branch keeps the exact pre-tempering jaxpr (compile cache)
         if temperature == 1:
             return jnp.sum(logpriors, -1) + inv_T * jnp.sum(loglikes, -1)
         return inv_T * (jnp.sum(logpriors, -1) + jnp.sum(loglikes, -1))
 
+    def tempered_scalar(lpri, llik):
+        if temperature == 1:
+            return jnp.sum(lpri) + inv_T * jnp.sum(llik)
+        return inv_T * (jnp.sum(lpri) + jnp.sum(llik))
+
     def eval_full(x, cache):
         if block_eval is None:
             lp, lpri, llik, der = logpost_fn(x)
-            return tempered(lpri[None], llik[None])[0] if False else (
-                (jnp.sum(lpri) + inv_T * jnp.sum(llik) if temperature == 1
-             else inv_T * (jnp.sum(lpri) + jnp.sum(llik))), lpri, llik, der, cache
-            )
+            return (tempered_scalar(lpri, llik), lpri, llik, der, cache)
         lp, lpri, llik, der, cache = block_eval(SLOW, x, cache)
-        return ((jnp.sum(lpri) + inv_T * jnp.sum(llik) if temperature == 1
-             else inv_T * (jnp.sum(lpri) + jnp.sum(llik))), lpri, llik, der, cache)
+        return (tempered_scalar(lpri, llik), lpri, llik, der, cache)
 
     def eval_fast(x, cache):
         if block_eval is None:
             lp, lpri, llik, der = logpost_fn(x)
-            return ((jnp.sum(lpri) + inv_T * jnp.sum(llik) if temperature == 1
-             else inv_T * (jnp.sum(lpri) + jnp.sum(llik))), lpri, llik, der,
-                    cache)
+            return (tempered_scalar(lpri, llik), lpri, llik, der, cache)
         lp, lpri, llik, der, cache = block_eval(FAST, x, cache)
-        return ((jnp.sum(lpri) + inv_T * jnp.sum(llik) if temperature == 1
-             else inv_T * (jnp.sum(lpri) + jnp.sum(llik))), lpri, llik, der, cache)
+        return (tempered_scalar(lpri, llik), lpri, llik, der, cache)
 
     def drag_step_single(carry_w, transforms, dir_mask, block_sizes, scale):
         """One dragging cycle for ONE walker (vmapped by the caller)."""

@@ -118,8 +118,30 @@ def is_main_process() -> bool:
     return process_index() == 0
 
 
+_solo_depth = [0]
+
+
 def more_than_one_process() -> bool:
+    if _solo_depth[0]:
+        return False
     return process_count() > 1
+
+
+class solo:
+    """Context: run a code block as if single-process.
+
+    Used by root-gated work (e.g. ``post()``'s root recursion): inside, all
+    collectives become serial no-ops, so root does not advance collective
+    counters that its peers never see.
+    """
+
+    def __enter__(self):
+        _solo_depth[0] += 1
+        return self
+
+    def __exit__(self, *exc):
+        _solo_depth[0] -= 1
+        return False
 
 
 # --------------------------------------------------------------------------

@@ -60,14 +60,28 @@ def post(info_or_yaml_or_file, sample=None):
 
     if pstate.more_than_one_process() and not info.pop("_post_root", False):
         if pstate.is_main_process():
-            updated, result = post(dict(info, _post_root=True),
-                                   sample=sample)
+            # run the root recursion as-if-serial so no collective
+            # counters advance that the waiting peers never see
+            try:
+                with pstate.solo():
+                    updated, result = post(dict(info, _post_root=True),
+                                           sample=sample)
+            except BaseException as exc:
+                pstate.share_value({"error": f"{type(exc).__name__}: {exc}"},
+                                   tag="post-result")
+                pstate.sync_point(tag="post-exit")
+                raise
             pstate.share_value({"updated": updated, "stats": result.stats,
                                 "offset": result.logpost_weight_offset},
                                tag="post-result")
             pstate.sync_point(tag="post-exit")
             return updated, result
         shared = pstate.share_value(tag="post-result")
+        if "error" in shared:
+            pstate.sync_point(tag="post-exit")
+            raise pstate.OtherProcessError(
+                "post() failed on the root process: " + shared["error"]
+            )
         out = shared["updated"], PostResult(
             sample=None, stats=shared["stats"],
             logpost_weight_offset=shared["offset"], weights=None,
@@ -328,6 +342,11 @@ def post(info_or_yaml_or_file, sample=None):
         updated["prior"] = upd_priors
     updated["post"] = {"add": add_updated, "remove": remove,
                        "suffix": suffix}
+    # post products are detempered: don't advertise the input run's
+    # temperature, or reloading them would detemper a second time
+    for sampler_block in (updated.get("sampler") or {}).values():
+        if isinstance(sampler_block, dict):
+            sampler_block.pop("temperature", None)
     if output_out:
         output_out.check_and_dump_info(None, updated, check_compatible=False)
         output_out.close()

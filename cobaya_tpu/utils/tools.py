@@ -131,17 +131,17 @@ def get_external_function(spec, name: str | None = None) -> Callable:
         tree = ast.parse(spec, mode="eval")
         fn = eval(compile(tree, "<input-function>", "eval"), namespace)  # noqa: S307
         if not callable(fn):
-            raise SyntaxError("expression does not evaluate to a callable")
-    except SyntaxError as exc:
+            raise ValueError("expression does not evaluate to a callable")
+    except Exception as exc:
         raise LoggedError(
-            log, "Could not parse '%s' as a function: %s", spec, exc
+            log, "Could not load '%s' as a function: %s", spec, exc
         ) from exc
-    try:
+    if isinstance(tree.body, ast.Lambda):
+        # only label anonymous lambdas: renaming an imported module-level
+        # function would mutate the user's shared object
         fn.__doc__ = spec
         if name:
             fn.__name__ = name
-    except (AttributeError, TypeError):
-        pass  # imported/builtin callables may not accept metadata
     return fn
 
 

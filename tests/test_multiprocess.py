@@ -284,6 +284,12 @@ info2 = {"output": prefix, "post": {"suffix": "q", "add": {
     "params": {"s": {"derived": "lambda x0, x1: x0 + x1"}}}}}
 upd2, res2 = post(info2)
 print("RESULT2", round(res2.stats["eff_samples"], 4))
+# a run() AFTER a root-gated post() still works: root's recursion must not
+# have advanced collective counters its peers never saw
+base2 = dict(base, output=prefix + "-second")
+base2["sampler"] = {"mcmc": dict(base["sampler"]["mcmc"], max_samples=200)}
+upd3, s3 = run(base2)
+print("RESULT3", s3.n_steps)
 """
 
 
@@ -314,3 +320,7 @@ def test_two_process_post_root_gated(tmp_path):
     )
     assert results2[0] == results2[1], results2
     assert glob.glob(prefix + ".post.q.*.txt")
+    # the follow-up run() completed on both ranks (counter stayed in sync)
+    for out in outs:
+        assert any(ln.startswith("RESULT3 200") for ln in out.splitlines()), \
+            out[-2000:]
