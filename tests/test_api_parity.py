@@ -88,6 +88,17 @@ def test_model_introspection_behaves():
     np.testing.assert_allclose(np.diag(m.prior.covmat()), [1 / 3, 4.0])
 
 
+def test_set_cache_size_keeps_newest_state():
+    m = _tiny_model()
+    like = list(m.likelihood.values())[0]
+    m.logposterior(np.array([0.3, 0.1]))
+    m.logposterior(np.array([0.7, -0.2]))
+    newest = like.current_state.get("_key")
+    m.set_cache_size(1)
+    assert like.current_state.get("_key") == newest
+    assert like._states.maxlen == 1
+
+
 def test_prior_set_reference():
     m = _tiny_model()
     m.prior.set_reference({"x1": 0.7})
