@@ -172,10 +172,12 @@ class CMBlikes(DataSetLikelihood):
         cls = TracedCosmoProducts(self, provider_products).get_Cl(
             ell_factor=True, units="muK2"
         )
+        # match the host path's windows[:, :len(cl)] slice: a window file
+        # may span more ells than the theory vector provides
+        ncol = min(self.windows.shape[1], self.lmax + 1)
         theory = jnp.stack([
-            jnp.asarray(self.windows) @ jnp.asarray(cls[name])[
-                : self.lmax + 1
-            ]
+            jnp.asarray(self.windows[:, :ncol])
+            @ jnp.asarray(cls[name])[:ncol]
             for name in self.use_cl
         ], axis=1)  # (nbins, n_cl)
         if self.calibration_param:

@@ -93,7 +93,25 @@ def maybe_init_distributed(no_mpi: bool = False) -> bool:
     pid = os.environ.get("COBAYA_TPU_PROCESS_ID") \
         or os.environ.get("JAX_PROCESS_ID")
     if not (addr and n and pid is not None):
-        return False
+        # TPU pod / managed-cluster launch: jax.distributed.initialize()
+        # discovers the topology from the runtime metadata on its own.
+        # Only attempt it when a pod marker is present — a bare call on a
+        # single workstation raises.
+        pod_markers = ("TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID",
+                       "MEGASCALE_COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID")
+        if not any(os.environ.get(v) for v in pod_markers):
+            return False
+        import jax
+
+        try:
+            jax.distributed.initialize()
+        except Exception as exc:
+            log.warning("TPU pod markers present but jax.distributed "
+                        "auto-initialization failed: %s", exc)
+            return False
+        log.info("Distributed run (pod metadata): process %d of %d",
+                 process_index(), process_count())
+        return more_than_one_process()
     import jax
 
     jax.distributed.initialize(
@@ -148,10 +166,30 @@ class solo:
 # KV-store object exchange (host values; tiny and infrequent)
 # --------------------------------------------------------------------------
 _kv_counter = [0]
+# keys this process wrote, per counter round — deleted two rounds later so
+# a long run doesn't grow the coordination service's store without bound
+# (a rank can only be writing round c once every rank finished round c-2)
+_kv_written: dict = {}
 
 
 def _kv_key(tag: str, src: int) -> str:
     return f"cobaya_tpu/{tag}/{_kv_counter[0]}/{src}"
+
+
+def _kv_set(client, key: str, payload: bytes):
+    client.key_value_set_bytes(key, payload)
+    _kv_written.setdefault(_kv_counter[0], []).append(key)
+
+
+def _kv_gc(client):
+    cutoff = _kv_counter[0] - 2
+    for round_ in [r for r in _kv_written if r <= cutoff]:
+        for key in _kv_written.pop(round_):
+            try:
+                client.key_value_delete(key)
+            except Exception:  # old jax without delete, or already gone
+                _kv_written.clear()
+                return
 
 
 def share(value: Any = None, root: int = 0, tag: str = "share") -> Any:
@@ -164,9 +202,10 @@ def share(value: Any = None, root: int = 0, tag: str = "share") -> Any:
             log, "Multi-process run without jax.distributed initialized."
         )
     _kv_counter[0] += 1
+    _kv_gc(client)
     key = _kv_key(tag, root)
     if process_index() == root:
-        client.key_value_set_bytes(key, pickle.dumps(value))
+        _kv_set(client, key, pickle.dumps(value))
         return value
     raw = client.blocking_key_value_get_bytes(key, 60_000)
     return pickle.loads(raw)
@@ -238,8 +277,9 @@ def gather(value: Any, root: int = 0, tag: str = "gather") -> list | None:
         return [value]
     client = _distributed_client()
     _kv_counter[0] += 1
+    _kv_gc(client)
     key = _kv_key(tag, process_index())
-    client.key_value_set_bytes(key, pickle.dumps(value))
+    _kv_set(client, key, pickle.dumps(value))
     if process_index() != root:
         return None
     out = []
@@ -256,8 +296,9 @@ def allgather(value: Any, tag: str = "allgather") -> list:
         return [value]
     client = _distributed_client()
     _kv_counter[0] += 1
+    _kv_gc(client)
     key = _kv_key(tag, process_index())
-    client.key_value_set_bytes(key, pickle.dumps(value))
+    _kv_set(client, key, pickle.dumps(value))
     out = []
     for src in range(process_count()):
         k = _kv_key(tag, src)
@@ -290,9 +331,11 @@ def scatter(values: list | None = None, root: int = 0,
         return (values or [None])[0]
     client = _distributed_client()
     _kv_counter[0] += 1
+    _kv_gc(client)
     if process_index() == root:
         for dst, v in enumerate(values):
-            client.key_value_set_bytes(
+            _kv_set(
+                client,
                 f"cobaya_tpu/{tag}/{_kv_counter[0]}/to{dst}",
                 pickle.dumps(v),
             )

@@ -814,9 +814,12 @@ class MCMC(CovmatSampler):
         while (self._ring_len >= M
                and self.n_steps // 2 > M * self._ring_stride * thin):
             half = self._ring[::2]
-            self._ring = jnp.concatenate([half, half], axis=0)
-            self._ring_len = half.shape[0]
-            self._ring_pos = int(self._ring_len)
+            # truncate to exactly M rows: with odd M, [::2] keeps (M+1)/2
+            # rows and the doubled buffer would grow to M+1, leaving one
+            # slot the modulo-M writer could never overwrite
+            self._ring = jnp.concatenate([half, half], axis=0)[:M]
+            self._ring_len = min(half.shape[0], M)
+            self._ring_pos = int(self._ring_len) % M
             self._ring_stride *= 2
 
     def _check_cl_bounds(self) -> float:
@@ -936,6 +939,20 @@ class MCMC(CovmatSampler):
 
         import jax
 
+        from ...parallel import state as pstate
+
+        # refuse resuming with a different process count: per-rank state
+        # files would not line up and chains would silently restart
+        # (the reference refuses on MPI-size mismatch)
+        old_size = (self.read_checkpoint_info() or {}).get("mpi_size")
+        if old_size is not None and int(old_size) != pstate.process_count():
+            raise LoggedError(
+                self.log,
+                "Cannot resume: the run was checkpointed with %s "
+                "process(es), but this launch has %d. Relaunch with the "
+                "same process count, or use force=True to start over.",
+                old_size, pstate.process_count(),
+            )
         fn = self.state_filename
         if not fn or not os.path.exists(fn):
             self.mpi_warning("Resume requested but no state file found; "

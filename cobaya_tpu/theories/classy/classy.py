@@ -38,7 +38,18 @@ class classy(BoltzmannBase):
         self.classy_module = self.get_classy_module(
             self.path, self.packages_path
         )
-        self.classy = self.classy_module.Class()
+        import threading
+
+        self._classy_local = threading.local()
+
+    @property
+    def classy(self):
+        """One CLASS solver per thread: the host-callback pool fans the
+        walker batch over threads, and a ``Class()`` instance holds per-run
+        C state (set/compute/read must not interleave across threads)."""
+        if not hasattr(self._classy_local, "instance"):
+            self._classy_local.instance = self.classy_module.Class()
+        return self._classy_local.instance
 
     @classmethod
     def get_classy_module(cls, path=None, packages_path=None):
@@ -235,11 +246,14 @@ class classy(BoltzmannBase):
             # interpolate onto the requested grids
             from scipy.interpolate import RectBivariateSpline
 
+            zz = np.asarray(zz)
+            kk = np.asarray(kk)
             sp = RectBivariateSpline(
-                np.asarray(zz)[::-1], np.log(np.asarray(kk)),
-                np.log(np.asarray(P).T[::-1]),
+                zz[::-1], np.log(kk), np.log(np.asarray(P).T[::-1]),
+                kx=min(3, len(zz) - 1), ky=min(3, len(kk) - 1),
             )
-            return np.exp(sp(z, np.log(k * h)))
+            # CLASS returns P in Mpc^3; convert to this table's (Mpc/h)^3
+            return np.exp(sp(z, np.log(k * h))) * h ** 3
         if pair == ("delta_nonu", "delta_nonu") and hasattr(
             self.classy, "pk_cb"
         ):

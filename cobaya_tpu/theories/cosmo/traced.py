@@ -240,35 +240,39 @@ class TracedPkInterpolator:
         z_b, _ = np.broadcast_arrays(z_q, np.zeros(k_q.shape))
         k_b = jnp.broadcast_to(k_q, z_b.shape).reshape(-1)
         iz, wz = self._z_weights(z_b.reshape(-1))
-        if len(self.z) == 1:
-            logP_z = jnp.broadcast_to(self._logP[0],
-                                      (len(iz), self._logP.shape[1]))
-        else:
-            logP_z = ((1 - wz)[:, None] * self._logP[iz]
-                      + wz[:, None] * self._logP[iz + 1])  # (nq, nk)
         logq = jnp.log(jnp.maximum(k_b, 1e-300))
         nk = self._logP.shape[1]
         ik = jnp.clip(jnp.searchsorted(self._logk, logq, side="right") - 1,
                       0, nk - 2)
+        tab = jnp.asarray(self._logP)
+
+        # gather just the needed columns (ik, ik+1 and the four static edge
+        # columns), z-blending scalars: blending the full (nq, nk) rows
+        # first costs ~nk/4 times the HBM traffic on the hot DES path
+        def at(cols):
+            if len(self.z) == 1:
+                return tab[0, cols]
+            return (1 - wz) * tab[iz, cols] + wz * tab[iz + 1, cols]
+
+        v_lo = at(ik)
+        v_hi = at(ik + 1)
         lo = self._logk[ik]
         hi = self._logk[ik + 1]
         t = (logq - lo) / (hi - lo)
-        rows = jnp.arange(len(iz))
-        v_lo = logP_z[rows, ik]
-        v_hi = logP_z[rows, ik + 1]
         val = v_lo * (1 - t) + v_hi * t
         # power-law extrapolation at the table edges
         dlog0 = self._logk[1] - self._logk[0]
         dlog1 = self._logk[-1] - self._logk[-2]
-        slope_lo = (logP_z[:, 1] - logP_z[:, 0]) / dlog0
-        slope_hi = (logP_z[:, -1] - logP_z[:, -2]) / dlog1
+        e0, e1, em2, em1 = at(0), at(1), at(nk - 2), at(nk - 1)
+        slope_lo = (e1 - e0) / dlog0
+        slope_hi = (em1 - em2) / dlog1
         val = jnp.where(
             logq < self._logk[0],
-            logP_z[:, 0] + slope_lo * (logq - self._logk[0]), val,
+            e0 + slope_lo * (logq - self._logk[0]), val,
         )
         val = jnp.where(
             logq > self._logk[-1],
-            logP_z[:, -1] + slope_hi * (logq - self._logk[-1]), val,
+            em1 + slope_hi * (logq - self._logk[-1]), val,
         )
         out = val.reshape(z_b.shape)
         return out if out.shape else out.reshape(())

@@ -91,6 +91,13 @@ class FakeClassy:
     def pk_cb(self, k, z):
         return 0.9 * self.pk(k, z)
 
+    def get_Weyl_pk_and_k_and_z(self):
+        # same spectrum as pk(): lets the test check unit conventions
+        kk = np.geomspace(1e-6, 30.0, 120)   # 1/Mpc
+        zz = np.array([2.0, 1.0, 0.0])       # CLASS returns z descending
+        P = np.array([[self.pk(ki, zi) for zi in zz] for ki in kk])
+        return P, kk, zz
+
     def get_current_derived_parameters(self, names):
         table = {"z_reio": 7.7, "age": 13.8, "YHe": 0.245}
         return {n: table[n] for n in names if n in table}
@@ -148,7 +155,8 @@ def test_classy_full_product_vocabulary(classy_model):
         "sigma_R": {"z": zs, "R": np.array([4.0, 8.0]), "k_max": 5.0},
         "Pk_grid": {"z": zs, "k_max": 5.0,
                     "vars_pairs": [("delta_tot", "delta_tot"),
-                                   ("delta_nonu", "delta_nonu")]},
+                                   ("delta_nonu", "delta_nonu"),
+                                   ("Weyl", "Weyl")]},
         "rdrag": None,
         "z_reio": None,
     })
@@ -190,6 +198,11 @@ def test_classy_full_product_vocabulary(classy_model):
     assert np.allclose(pk[0, 0], fake.pk(k_pk[0] * h, 0.0) * h ** 3)
     _, _, pk_nonu = prov.get_Pk_grid(("delta_nonu", "delta_nonu"))
     assert np.allclose(pk_nonu, 0.9 * pk)
+    # Weyl table shares the (Mpc/h)^3 convention (the mock's Weyl spectrum
+    # IS the matter spectrum, so the tables must agree)
+    # tolerance: z-interpolation of the mock's coarse (z=0,1,2) Weyl table
+    _, _, pk_weyl = prov.get_Pk_grid(("Weyl", "Weyl"))
+    assert np.allclose(pk_weyl, pk, rtol=0.06)
     interp = prov.get_Pk_interpolator(("delta_tot", "delta_tot"))
     mid_k = np.sqrt(k_pk[3] * k_pk[4])
     assert np.isclose(
