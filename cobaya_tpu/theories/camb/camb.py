@@ -171,7 +171,9 @@ class CAMB(BoltzmannBase):
         if pk_req is not None:
             args.setdefault("redshifts",
                             np.atleast_1d(pk_req.get("z", [0.0]))[::-1])
-            args.setdefault("kmax", pk_req.get("k_max", 2.0))
+            # requested k_max is in 1/Mpc; CAMB's transfer kmax is h/Mpc,
+            # and h isn't known yet — 1.8x covers any h >= 0.55
+            args.setdefault("kmax", pk_req.get("k_max", 2.0) * 1.8)
         try:
             pars = self.camb.set_params(**args)
         except Exception as exc:
@@ -334,14 +336,19 @@ class CAMB(BoltzmannBase):
                 continue
             from ..cosmo.boltzmannbase import _norm_pairs
 
+            # reference contract (boltzmannbase.py:533-542): k in 1/Mpc,
+            # P in Mpc^3 — CAMB's helper returns h/Mpc and (Mpc/h)^3
+            h = float(results.Params.H0) / 100.0
             for pair in _norm_pairs(spec.get("vars_pairs")):
                 for nonlinear in {bool(spec.get("nonlinear", True)), False}:
                     kh, z_out, pk = results.get_matter_power_spectrum(
-                        minkh=1e-4, maxkh=spec.get("k_max", 2.0), npoints=200,
+                        minkh=1e-4 / h,
+                        maxkh=spec.get("k_max", 2.0) / h, npoints=200,
                         var1=pair[0], var2=pair[1],
                     )
                     state[("Pk_grid", nonlinear) + tuple(pair)] = (
-                        np.asarray(z_out), np.asarray(kh), np.asarray(pk)
+                        np.asarray(z_out), np.asarray(kh) * h,
+                        np.asarray(pk) / h ** 3,
                     )
         if "sigma_R" in mp:
             # RMS fluctuation in spheres of radius R [Mpc] at requested z

@@ -97,21 +97,21 @@ class classy(BoltzmannBase):
         pk_spec = mp.get("Pk_interpolator") or mp.get("Pk_grid")
         if pk_spec is not None:
             output.add("mPk")
-            args["P_k_max_h/Mpc"] = pk_spec.get("k_max", 2.0)
+            args["P_k_max_1/Mpc"] = pk_spec.get("k_max", 2.0)
             z_pk += list(np.atleast_1d(pk_spec.get("z", [0.0])))
             pairs = {tuple(p) for p in (pk_spec.get("vars_pairs") or [])}
             if ("Weyl", "Weyl") in pairs:
                 output.add("mTk")
         if "sigma_R" in mp:
             output.add("mPk")
-            args["P_k_max_h/Mpc"] = max(
-                args.get("P_k_max_h/Mpc", 0), mp["sigma_R"].get("k_max", 2.0)
+            args["P_k_max_1/Mpc"] = max(
+                args.get("P_k_max_1/Mpc", 0), mp["sigma_R"].get("k_max", 2.0)
             )
             z_pk += list(np.atleast_1d(mp["sigma_R"].get("z", [0.0])))
         for req in ("fsigma8", "sigma8_z"):
             if req in mp:
                 output.add("mPk")
-                args.setdefault("P_k_max_h/Mpc", 2.0)
+                args.setdefault("P_k_max_1/Mpc", 2.0)
                 z_pk += list(np.atleast_1d(mp[req]["z"]))
         if z_pk:
             args["z_max_pk"] = float(np.max(z_pk))
@@ -237,8 +237,9 @@ class classy(BoltzmannBase):
         return True
 
     def _pk_table(self, pair, z, k):
-        """P(k) table (nz, nk), k in h/Mpc, P in (Mpc/h)^3."""
-        h = self.classy.h()
+        """P(k) table (nz, nk): k in 1/Mpc, P in Mpc^3 — the reference's
+        Pk_grid contract (boltzmannbase.py:533-542), which is also CLASS's
+        native unit convention."""
         if pair == ("Weyl", "Weyl") and hasattr(
             self.classy, "get_Weyl_pk_and_k_and_z"
         ):
@@ -252,18 +253,15 @@ class classy(BoltzmannBase):
                 zz[::-1], np.log(kk), np.log(np.asarray(P).T[::-1]),
                 kx=min(3, len(zz) - 1), ky=min(3, len(kk) - 1),
             )
-            # CLASS returns P in Mpc^3; convert to this table's (Mpc/h)^3
-            return np.exp(sp(z, np.log(k * h))) * h ** 3
+            return np.exp(sp(z, np.log(k)))
         if pair == ("delta_nonu", "delta_nonu") and hasattr(
             self.classy, "pk_cb"
         ):
             return np.array([
-                [self.classy.pk_cb(ki * h, zi) * h ** 3 for ki in k]
-                for zi in z
+                [self.classy.pk_cb(ki, zi) for ki in k] for zi in z
             ])
         return np.array([
-            [self.classy.pk(ki * h, zi) * h ** 3 for ki in k]
-            for zi in z
+            [self.classy.pk(ki, zi) for ki in k] for zi in z
         ])
 
     def _get_derived(self) -> dict:

@@ -70,6 +70,17 @@ class FakeResults:
         # sigma8 scales as sqrt(As): lets the sigma8-input rescale be tested
         return 0.8 * np.sqrt(self._power_pars.InitPower.As / 2e-9)
 
+    def get_matter_power_spectrum(self, minkh=1e-4, maxkh=2.0, npoints=200,
+                                  var1=None, var2=None):
+        # CAMB's native convention: kh in h/Mpc, P in (Mpc/h)^3; the
+        # underlying physical spectrum is P_Mpc(k) = 1e4 (k/0.05)^-1.8
+        h = self.Params.H0 / 100.0
+        kh = np.geomspace(minkh, maxkh, npoints)
+        z = np.asarray(self.Params.kw.get("redshifts", [0.0]))[::-1]
+        p_mpc = 1e4 * (kh * h / 0.05) ** -1.8
+        pk = np.broadcast_to(p_mpc * h ** 3, (len(z), len(kh))).copy()
+        return kh, z, pk
+
 
 class FakeCamb:
     __version__ = "1.5.5"
@@ -308,3 +319,18 @@ def test_external_primordial_pk(monkeypatch):
     data = host.current_state["CAMBdata"]
     kmin, kmax, Pk = data._power_pars.InitPower.table
     assert np.isclose(Pk[0], 1.8e-9 * (1e-5 / 0.05) ** (0.9 - 1))
+
+
+def test_camb_pk_grid_reference_units(camb_model):
+    """Pk_grid follows the reference contract — k in 1/Mpc, P in Mpc^3
+    (reference boltzmannbase.py:533-542) — independent of CAMB's native
+    h-unit helper output."""
+    model, _ = camb_model
+    model.add_requirements({"Pk_grid": {
+        "z": [0.0, 0.5], "k_max": 2.0,
+        "vars_pairs": [("delta_tot", "delta_tot")],
+    }})
+    model.logposterior([0.022, 0.96])
+    z, k, pk = model.provider.get_Pk_grid(("delta_tot", "delta_tot"))
+    assert k.max() >= 2.0  # covers the requested k_max in 1/Mpc
+    np.testing.assert_allclose(pk[0], 1e4 * (k / 0.05) ** -1.8, rtol=1e-10)

@@ -193,9 +193,9 @@ def test_classy_full_product_vocabulary(classy_model):
     z_out, R_out, sig = prov.get_sigma_R()
     assert np.allclose(sig[1, 0], fake.sigma(4.0, zs[1]))
     # matter power (both species pairs)
+    # reference Pk_grid contract: k in 1/Mpc, P in Mpc^3
     z_pk, k_pk, pk = prov.get_Pk_grid(("delta_tot", "delta_tot"))
-    h = 0.7
-    assert np.allclose(pk[0, 0], fake.pk(k_pk[0] * h, 0.0) * h ** 3)
+    assert np.allclose(pk[0, 0], fake.pk(k_pk[0], 0.0))
     _, _, pk_nonu = prov.get_Pk_grid(("delta_nonu", "delta_nonu"))
     assert np.allclose(pk_nonu, 0.9 * pk)
     # Weyl table shares the (Mpc/h)^3 convention (the mock's Weyl spectrum
@@ -206,7 +206,7 @@ def test_classy_full_product_vocabulary(classy_model):
     interp = prov.get_Pk_interpolator(("delta_tot", "delta_tot"))
     mid_k = np.sqrt(k_pk[3] * k_pk[4])
     assert np.isclose(
-        interp.P(0.5, mid_k), fake.pk(mid_k * h, 0.5) * h ** 3, rtol=1e-3
+        interp.P(0.5, mid_k), fake.pk(mid_k, 0.5), rtol=1e-3
     )
     # negotiated derived params
     assert np.isclose(prov.get_param("rdrag"), fake.rs_drag())
