@@ -317,6 +317,8 @@ class BoltzmannBase(Theory):
 
     def get_Pk_grid(self, var_pair=("delta_tot", "delta_tot"),
                     nonlinear: bool = True):
+        """(z, k, P) arrays: k in 1/Mpc, P in Mpc^3, both ascending —
+        the reference contract (boltzmannbase.py:533-542)."""
         key = ("Pk_grid", bool(nonlinear)) + tuple(var_pair)
         try:
             return self.current_state[key]
