@@ -175,7 +175,10 @@ class SampleCollection(BaseCollection):
     def add(self, values, derived=None, weight: float = 1.0,
             logpriors=None, loglikes=None, logpost=None):
         """Add a single point (reference OnePoint-style)."""
-        logpriors = np.atleast_1d(logpriors)
+        logpriors = np.atleast_1d(
+            logpriors if logpriors is not None
+            else np.zeros(len(self.prior_names))
+        )
         loglikes = np.atleast_1d(loglikes if loglikes is not None else [])
         if logpost is None:
             logpost = float(np.sum(logpriors) + np.sum(loglikes))
@@ -272,16 +275,27 @@ class SampleCollection(BaseCollection):
             shift = logpost_t.max()
         return w * np.exp((self.temperature - 1) * (logpost_t - shift))
 
-    def mean(self, first=None, last=None, derived: bool = False,
-             pweight: bool = False) -> np.ndarray:
+    def _stat_weights(self, sl, weights, tempered):
+        if weights is not None:
+            return np.asarray(weights)
+        if tempered:
+            return self.data[sl, 0]  # raw weights of the tempered sample
+        return self._detempered_weights(sl)
+
+    def mean(self, first=None, last=None, weights=None,
+             derived: bool = False, tempered: bool = False) -> np.ndarray:
+        """Weighted parameter means (reference collection.py:893):
+        ``weights`` overrides; ``tempered`` uses the raw tempered-sample
+        weights instead of detempering."""
         sl = self._range(first, last)
-        w = self._detempered_weights(sl)
+        w = self._stat_weights(sl, weights, tempered)
         cols = self._param_block(derived)
         return np.average(self.data[sl, cols[0]:cols[1]], weights=w, axis=0)
 
-    def cov(self, first=None, last=None, derived: bool = False) -> np.ndarray:
+    def cov(self, first=None, last=None, weights=None,
+            derived: bool = False, tempered: bool = False) -> np.ndarray:
         sl = self._range(first, last)
-        w = self._detempered_weights(sl)
+        w = self._stat_weights(sl, weights, tempered)
         cols = self._param_block(derived)
         vals = self.data[sl, cols[0]:cols[1]]
         mu = np.average(vals, weights=w, axis=0)
@@ -357,6 +371,9 @@ class SampleCollection(BaseCollection):
         mask = target.data[:, 0] > 0
         target._data[: mask.sum()] = target.data[mask]
         target._n = int(mask.sum())
+        # rows already on disk no longer match memory: rewrite from scratch
+        # on the next flush instead of appending past a stale offset
+        target._n_flushed = 0
         return target
 
     def skip_samples(self, skip, inplace: bool = False):
@@ -378,7 +395,7 @@ class SampleCollection(BaseCollection):
                 self.log, "Cannot thin samples with non-integer weights."
             )
         # expand weights, take every thin-th unit sample
-        idx = np.repeat(np.arange(self._n), w.astype(int))[::thin]
+        idx = np.repeat(np.arange(self._n), np.round(w).astype(int))[::thin]
         uniq, counts = np.unique(idx, return_counts=True)
         rows = self.data[uniq].copy()
         rows[:, 0] = counts
@@ -412,7 +429,7 @@ class SampleCollection(BaseCollection):
 
     # ---- disk I/O -------------------------------------------------------------
     def _header(self) -> str:
-        return "#" + " ".join(f"{c:>16s}" if i else f"{c:>16s}"
+        return "#" + " ".join(f"{c:>17s}" if i else f"{c:>16s}"
                               for i, c in enumerate(self.columns)) + "\n"
 
     def format_rows(self, rows: np.ndarray) -> str:

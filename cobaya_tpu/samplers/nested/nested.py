@@ -119,9 +119,10 @@ class Nested(Sampler):
         def loglike_u(u):
             x = cube_to_x(u)
             _, logpriors, loglikes, derived = logpost_fn(x)
-            # external priors fold into the effective likelihood
+            # external priors fold into the effective likelihood for the
+            # nested evolution; the full per-prior vector is kept for output
             ext = jnp.sum(logpriors[1:]) if logpriors.shape[0] > 1 else 0.0
-            return jnp.sum(loglikes) + ext, (x, loglikes, derived)
+            return jnp.sum(loglikes) + ext, (x, logpriors, loglikes, derived)
 
         self._cube_to_x = cube_to_x
         self._loglike_u = loglike_u
@@ -184,11 +185,7 @@ class Nested(Sampler):
         for b, idxs in enumerate(self._block_indices):
             block_masks[b, idxs] = 1.0
         block_masks_j = jnp.asarray(block_masks)
-        tab = jnp.asarray(self._tables, self._dtype)
-        knots = jnp.asarray(self._u_knots, self._dtype)
-
-        def cube_to_x(u):
-            return jax.vmap(jnp.interp, in_axes=(0, None, 0))(u, knots, tab)
+        cube_to_x = self._cube_to_x
 
         def eval_graded(b, u, cache):
             """(value, cache) under the likelihood constraint semantics."""
@@ -340,7 +337,9 @@ class Nested(Sampler):
                 lambda full, new: full.at[kill].set(new), cache_live,
                 new_cache,
             )
-            stuck = jnp.sum(new_logL <= Lmin)
+            # a stuck chain never moved off its start point (comparing logL
+            # to Lmin can't detect this: start points survive above Lmin)
+            stuck = jnp.sum(jnp.all(new_u == u_live[starts], axis=-1))
             return (u_live, logL_live, cache_live, key, cluster_ids, dead_u,
                     dead_logL, jnp.sum(n_ev), stuck)
 
@@ -353,11 +352,7 @@ class Nested(Sampler):
 
         if self._full_eval is None:
             return ()
-        tab = jnp.asarray(self._tables, self._dtype)
-        knots = jnp.asarray(self._u_knots, self._dtype)
-
-        def cube_to_x(u):
-            return jax.vmap(jnp.interp, in_axes=(0, None, 0))(u, knots, tab)
+        cube_to_x = self._cube_to_x
 
         def full(u):
             return self._full_eval(cube_to_x(u))[4]
@@ -389,7 +384,7 @@ class Nested(Sampler):
         cluster_every = max(int(self.cluster_every), 1)
         self.mpi_info(
             "Nested sampling: nlive=%d, batch=%d, num_repeats=%d (d=%d)",
-            n, K, self._num_repeats * d, d,
+            n, K, self._num_repeats, d,
         )
         # host-side f64 evidence ledger
         dead_u_all, dead_logL_all, dead_logw_all = [], [], []
@@ -499,27 +494,33 @@ class Nested(Sampler):
         ])
         self._build_collection(all_u, all_logL, all_logw)
 
-    def _build_collection(self, all_u, all_logL, all_logw,
-                          write_output: bool = True):
-        """Decorate the dead+live points and store the weighted sample."""
+    def _decorate(self, all_u):
+        """One batched call: x, per-prior logps, per-like logps, derived."""
         import jax
         import jax.numpy as jnp
 
-        post_logw = all_logw + all_logL - self.logZ
-        weights = np.exp(post_logw - post_logw.max())
-        # decorate: x, per-like loglikes, derived (one batched call)
-        _, (x, loglikes, derived) = jax.device_get(
+        _, (x, logpriors, loglikes, derived) = jax.device_get(
             self._decorate_batch(jnp.asarray(all_u, self._dtype))
         )
-        logpriors0 = np.asarray(jax.device_get(jax.jit(jax.vmap(
-            self.model.prior.logps_internal_jax
-        ))(jnp.asarray(x))))
+        return (np.asarray(x), np.asarray(logpriors),
+                np.asarray(loglikes), np.asarray(derived))
+
+    def _build_collection(self, all_u, all_logL, all_logw,
+                          write_output: bool = True, decorated=None):
+        """Store the weighted dead+live sample (optionally pre-decorated)."""
+        post_logw = all_logw + all_logL - self.logZ
+        weights = np.exp(post_logw - post_logw.max())
+        x, logpriors, loglikes, derived = (
+            decorated if decorated is not None else self._decorate(all_u)
+        )
         output = self.output if write_output else None
         self.collection = SampleCollection(self.model, output, name="1")
+        # all_logL is the EFFECTIVE likelihood (external priors folded in):
+        # logpost = all_logL + internal prior; the per-prior columns carry
+        # the full [internal, external...] split
         self.collection.append_batch(
-            np.asarray(x), np.asarray(all_logL) + logpriors0,
-            logpriors0[:, None],
-            np.asarray(loglikes), np.asarray(derived),
+            x, np.asarray(all_logL) + logpriors[:, 0],
+            logpriors, loglikes, derived,
             weights=weights, rle=False,
         )
         self.collection.out_update()
@@ -572,9 +573,16 @@ class Nested(Sampler):
             "(%d points, %d evals)", self._nproc, self.logZ, self.logZstd,
             len(merged["logL"]), self._n_evals,
         )
+        # decorate once on root and share: every rank holds the identical
+        # merged sample without re-evaluating the whole merged set P times
+        if pstate.is_main_process():
+            decorated = self._decorate(merged["u"])
+            pstate.share(decorated, tag="nested-decorated")
+        else:
+            decorated = pstate.share(None, tag="nested-decorated")
         self._build_collection(
             merged["u"], merged["logL"], merged["logw"],
-            write_output=pstate.is_main_process(),
+            write_output=pstate.is_main_process(), decorated=decorated,
         )
 
     @staticmethod
