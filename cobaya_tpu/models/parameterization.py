@@ -304,9 +304,11 @@ class Parameterization(HasLogger):
         """Literal min/max bounds declared per parameter (for derived params)."""
         out = {}
         for p, info in self._infos.items():
-            lo = info.get("min", -np.inf)
-            hi = info.get("max", np.inf)
-            out[p] = (float(lo), float(hi))
+            # a present-but-null key ('min:' in YAML) means unbounded too
+            lo = info.get("min")
+            hi = info.get("max")
+            out[p] = (float(-np.inf if lo is None else lo),
+                      float(np.inf if hi is None else hi))
         return out
 
     # ---- hot-path translation (pure, trace-safe) ------------------------------

@@ -140,6 +140,8 @@ class Prior(HasLogger):
         if ref is None:
             return None
         if isinstance(ref, (int, float)) and not isinstance(ref, bool):
+            if np.isnan(ref):
+                return None  # 'ref: .nan' = no ref (reference prior.py:909)
             return float(ref)
         if isinstance(ref, Sequence) and len(ref) == 2 and all(
             isinstance(v, (int, float)) for v in ref
@@ -246,19 +248,16 @@ class Prior(HasLogger):
     def logps_external(self, input_params: Mapping[str, Any]) -> list:
         return [ext.logp(input_params) for ext in self.external.values()]
 
-    def logp(self, x) -> float:
-        logps = [float(self.logps_internal_jax(np.asarray(x)))]
-        if self.external:
-            input_params = self.parameterization.to_input(np.asarray(x))
-            logps += [float(v) for v in self.logps_external(input_params)]
-        return float(np.sum(logps))
-
     def logps(self, x) -> list[float]:
-        logps = [float(self.logps_internal_jax(np.asarray(x)))]
+        x = np.asarray(x, dtype=float)  # int input would truncate bounds
+        logps = [self.logps_internal(x)]
         if self.external:
-            input_params = self.parameterization.to_input(np.asarray(x))
+            input_params = self.parameterization.to_input(x)
             logps += [float(v) for v in self.logps_external(input_params)]
         return logps
+
+    def logp(self, x) -> float:
+        return float(np.sum(self.logps(x)))
 
     # ---- sampling ---------------------------------------------------------------
     def sample(self, n: int = 1, ignore_external: bool = False,
@@ -278,6 +277,8 @@ class Prior(HasLogger):
         import jax.numpy as jnp
 
         shape = (n_or_shape,) if isinstance(n_or_shape, int) else tuple(n_or_shape)
+        if not self.d():
+            return jnp.empty(shape + (0,))
         keys = jax.random.split(key, self.d())
         cols = [d.sample(k, shape) for d, k in zip(self.dists, keys)]
         return jnp.stack(cols, axis=-1)
@@ -292,17 +293,30 @@ class Prior(HasLogger):
         rng = np.random.default_rng(random_state)
         point = np.empty(self.d())
         where_no_ref = []
-        for i, (dist, ref) in enumerate(zip(self.dists, self.ref_pdfs)):
-            if ref is None:
-                point[i] = dist.scipy_dist.rvs(random_state=rng)
-                where_no_ref.append(self.params[i])
-            elif isinstance(ref, float):
-                if ignore_fixed:
+        for attempt in range(max(int(max_tries), 1)):
+            for i, (dist, ref) in enumerate(zip(self.dists, self.ref_pdfs)):
+                if ref is None:
                     point[i] = dist.scipy_dist.rvs(random_state=rng)
+                    if attempt == 0:
+                        where_no_ref.append(self.params[i])
+                elif isinstance(ref, float):
+                    if ignore_fixed:
+                        point[i] = dist.scipy_dist.rvs(random_state=rng)
+                    else:
+                        point[i] = ref
                 else:
-                    point[i] = ref
-            else:
-                point[i] = ref.scipy_dist.rvs(random_state=rng)
+                    point[i] = ref.scipy_dist.rvs(random_state=rng)
+            # redraw until the full point has non-null prior density (a ref
+            # pdf may put mass outside the prior; reference prior.py:926)
+            if np.isfinite(self.logp(point)):
+                break
+        else:
+            raise LoggedError(
+                self.log,
+                "Could not find a reference point with non-null prior "
+                "density in %d tries. Check that the ref pdfs overlap the "
+                "prior support.", max_tries,
+            )
         if where_no_ref and warn_if_no_ref:
             self.mpi_warning(
                 "No reference pdf for params %s: starting from the prior "

@@ -99,6 +99,19 @@ def build_blocked_proposal(
         dir_mask[b, j0:j0 + nb] = 1.0
     if oversampling_factors is None:
         oversampling_factors = np.ones(n_blocks, dtype=int)
+    else:
+        oversampling_factors = np.atleast_1d(oversampling_factors)
+        if len(oversampling_factors) != n_blocks:
+            raise LoggedError(
+                log, "oversampling_factors has %d entries for %d blocks.",
+                len(oversampling_factors), n_blocks,
+            )
+        if not np.all(oversampling_factors == np.round(
+                oversampling_factors)):
+            raise LoggedError(
+                log, "Oversampling factors must be integer! Got %r.",
+                list(oversampling_factors),
+            )
     return BlockedProposal(
         transforms=transforms,
         dir_mask=dir_mask,
@@ -113,13 +126,18 @@ def build_blocked_proposal(
 
 def make_block_schedule(
     proposal: BlockedProposal, n_steps: int, rng: np.random.Generator,
-    only_blocks=None,
+    only_blocks=None, carryover: list | None = None,
 ) -> np.ndarray:
     """Block-index sequence for one epoch (reference CyclicIndexRandomizer).
 
     Each cycle visits block ``b`` ``oversample[b] * n_block[b]`` times, in a
     fresh random permutation.  ``only_blocks`` restricts to a subset (used by
-    fast-dragging's separate slow/fast cyclers).
+    fast-dragging's separate slow/fast cyclers).  Pass the same one-element
+    ``carryover`` list across epochs so a cycle interrupted at an epoch
+    boundary resumes where it stopped (the reference cycler persists its
+    loop index) — otherwise the dropped tail elements would be
+    systematically under-visited whenever the cycle length does not divide
+    the epoch length.
     """
     idx = np.arange(len(proposal.blocks))
     if only_blocks is not None:
@@ -132,11 +150,21 @@ def make_block_schedule(
         raise LoggedError(log, "Empty block schedule.")
     out = np.empty(n_steps, dtype=np.int32)
     pos = 0
+    remainder = carryover[0] if carryover else None
+    if remainder is not None and len(remainder):
+        take = min(len(remainder), n_steps)
+        out[:take] = remainder[:take]
+        remainder = remainder[take:]
+        pos = take
     while pos < n_steps:
         cycle = rng.permutation(reps) if len(reps) > 2 else reps
         take = min(len(cycle), n_steps - pos)
         out[pos:pos + take] = cycle[:take]
+        remainder = cycle[take:]
         pos += take
+    if carryover is not None:
+        carryover[0] = remainder if remainder is not None else np.empty(
+            0, np.int32)
     return out
 
 

@@ -583,8 +583,11 @@ class MCMC(CovmatSampler):
                 self._win_steps[1] = 0
         n_rec, thin = self._epoch_shape(n_steps)
         total = n_rec * thin
+        if not hasattr(self, "_schedule_carry"):
+            self._schedule_carry = [None]
         schedule = make_block_schedule(
-            self._proposal, total, self.rng
+            self._proposal, total, self.rng,
+            carryover=self._schedule_carry,
         ).reshape(n_rec, thin)
         carry, recs = self._epoch_fn(
             self._carry, jnp.asarray(schedule),
