@@ -89,7 +89,9 @@ def weighted_quantile(values: np.ndarray, quantiles, weights=None):
     values = np.asarray(values, float)
     q = np.atleast_1d(quantiles)
     if weights is None:
-        return np.quantile(values, q, axis=-1)
+        # same midpoint-position rule as the weighted branch, so uniform
+        # explicit weights and None give identical results
+        weights = np.ones_like(values)
     weights = np.broadcast_to(np.asarray(weights, float), values.shape)
     order = np.argsort(values, axis=-1)
     v_sorted = np.take_along_axis(values, order, axis=-1)
@@ -186,9 +188,9 @@ def rminus1_cl_bounds(
 
     samples_per_chain: (C, n, d) thinned stored samples;
     weights_per_chain: (C, n) or None.
-    Returns max over parameters and both bounds of
+    Returns a (d,) array: per parameter, the max over the two bounds of
     ``std_over_chains(bound) / mean_over_chains(chain_std)`` (reference
-    mcmc.py:918-1002).
+    mcmc.py:918-1002); callers reduce with ``.max()`` for the scalar test.
     """
     C, n, d = samples_per_chain.shape
     qs = [(1 - confidence) / 2, 1 - (1 - confidence) / 2]

@@ -22,6 +22,18 @@ from . import moments as mom_ops
 from .moments import Moments
 
 
+def tempered_logpost(logpriors, loglikes, temperature: float):
+    """Tempered log-posterior: the FULL posterior to the power 1/T
+    (cobaya semantics, reference collection.py:75-84)."""
+    import jax.numpy as jnp
+
+    pri = jnp.sum(logpriors, -1)
+    lik = jnp.sum(loglikes, -1)
+    if temperature == 1:
+        return pri + lik
+    return (pri + lik) / temperature
+
+
 class MCMCCarry(NamedTuple):
     """Per-walker scan state; every leaf has leading dim = n_chains."""
 
@@ -33,7 +45,7 @@ class MCMCCarry(NamedTuple):
     derived: Any  # (C, n_derived)
     weight: Any  # (C,) repeats of the current point so far
     n_accepted: Any  # (C,) total accepted points
-    rejects_streak: Any  # (C,) consecutive non-prior rejections
+    rejects_streak: Any  # (C,) consecutive rejections (any cause)
     mom: Moments  # per-walker moment window A (staggered resets)
     mom2: Moments  # per-walker moment window B
     cache: Any = ()  # per-component cached results (blocked evaluator only)
@@ -79,14 +91,8 @@ def make_epoch_fn(
     from .proposal import propose_jax
 
     logpost_batch = jax.vmap(logpost_fn) if block_eval is None else None
-    inv_T = 1.0 / float(temperature)
-
     def tempered(logpriors, loglikes):
-        # cobaya semantics: the FULL posterior is tempered, p^(1/T)
-        # (reference collection.py:75-84); T==1 keeps the exact jaxpr
-        if temperature == 1:
-            return jnp.sum(logpriors, -1) + inv_T * jnp.sum(loglikes, -1)
-        return inv_T * (jnp.sum(logpriors, -1) + jnp.sum(loglikes, -1))
+        return tempered_logpost(logpriors, loglikes, temperature)
 
     def one_step(carry: MCMCCarry, block_index, direction, transforms,
                  dir_mask, block_sizes, scale):
@@ -132,7 +138,7 @@ def make_epoch_fn(
             weight=jnp.where(accept, 1.0, carry.weight + 1.0),
             n_accepted=carry.n_accepted + accept,
             rejects_streak=jnp.where(
-                accept, 0, carry.rejects_streak + prior_ok
+                accept, 0, carry.rejects_streak + 1
             ),
             # moments are updated at record boundaries (in `epoch` below):
             # with thin << autocorrelation time the thinned stream carries
@@ -204,9 +210,7 @@ def init_carry(key, x0, logpost_fn, dtype=None,
     return MCMCCarry(
         key=keys,
         x=x0,
-        logpost=(jnp.sum(lpri, -1) + jnp.sum(llik, -1) / temperature
-                 if temperature == 1 else
-                 (jnp.sum(lpri, -1) + jnp.sum(llik, -1)) / temperature),
+        logpost=tempered_logpost(lpri, llik, temperature),
         logpriors=lpri,
         loglikes=llik,
         derived=der,

@@ -61,9 +61,8 @@ def update(m: Moments, x, weight=1.0) -> Moments:
     w1 = w[..., None] if w.ndim else w
     d = dx.shape[-1]
     flat = dx.reshape(-1, d)
-    wflat = (jnp.broadcast_to(w, dx.shape[:-1]).reshape(-1, 1)
-             if w.ndim or dx.ndim > 1 else w)
     if dx.ndim > 1:
+        wflat = jnp.broadcast_to(w, dx.shape[:-1]).reshape(-1, 1)
         s2_inc = (wflat * flat).T @ flat
     else:
         s2_inc = w * jnp.outer(dx, dx)
@@ -94,7 +93,7 @@ def mean_of_covs(m: Moments, ddof: int = 1) -> jnp.ndarray:
 def cov_of_means(m: Moments, weighted: bool = True) -> jnp.ndarray:
     """Covariance over walkers of the per-walker means."""
     counts = m.count
-    w = counts / jnp.sum(counts) if weighted else (
+    w = counts / jnp.maximum(jnp.sum(counts), 1.0) if weighted else (
         jnp.ones_like(counts) / counts.shape[0]
     )
     means = mean(m)

@@ -673,7 +673,7 @@ class MCMC(CovmatSampler):
         if int(streak) >= self._max_tries:
             raise LoggedError(
                 self.log,
-                "Some walker has been stuck for %d non-prior-rejected tries "
+                "Some walker has been stuck for %d consecutive tries "
                 "(max_tries=%d). The posterior may be too concentrated "
                 "relative to the proposal, or have unphysical regions.",
                 int(streak), self._max_tries,
