@@ -166,9 +166,15 @@ class solo:
 # KV-store object exchange (host values; tiny and infrequent)
 # --------------------------------------------------------------------------
 _kv_counter = [0]
-# keys this process wrote, per counter round — deleted two rounds later so
-# a long run doesn't grow the coordination service's store without bound
-# (a rank can only be writing round c once every rank finished round c-2)
+# keys this process wrote, per counter round — deleted many rounds later so
+# a long run doesn't grow the coordination service's store without bound.
+# The window must be deep: consecutive root-originated ``share`` calls are
+# non-blocking on root, so root's counter can run ahead of a lagging peer
+# that has not yet read an old broadcast key.  A peer would have to fall
+# _KV_GC_WINDOW collective rounds behind before a key it still needs gets
+# deleted; combined with the blocking-read timeout this makes premature GC
+# practically unreachable while still bounding the store.
+_KV_GC_WINDOW = 64
 _kv_written: dict = {}
 
 
@@ -182,7 +188,7 @@ def _kv_set(client, key: str, payload: bytes):
 
 
 def _kv_gc(client):
-    cutoff = _kv_counter[0] - 2
+    cutoff = _kv_counter[0] - _KV_GC_WINDOW
     for round_ in [r for r in _kv_written if r <= cutoff]:
         for key in _kv_written.pop(round_):
             try:
@@ -192,8 +198,14 @@ def _kv_gc(client):
                 return
 
 
-def share(value: Any = None, root: int = 0, tag: str = "share") -> Any:
-    """Broadcast a picklable host value from ``root`` (serial: identity)."""
+def share(value: Any = None, root: int = 0, tag: str = "share",
+          timeout_ms: int = 60_000) -> Any:
+    """Broadcast a picklable host value from ``root`` (serial: identity).
+
+    ``timeout_ms`` bounds the peers' blocking read; raise it for exchanges
+    that follow long unsynchronized per-rank work (rank finish-time skew
+    otherwise turns into a spurious timeout failure).
+    """
     if not more_than_one_process():
         return value
     client = _distributed_client()
@@ -207,7 +219,7 @@ def share(value: Any = None, root: int = 0, tag: str = "share") -> Any:
     if process_index() == root:
         _kv_set(client, key, pickle.dumps(value))
         return value
-    raw = client.blocking_key_value_get_bytes(key, 60_000)
+    raw = client.blocking_key_value_get_bytes(key, timeout_ms)
     return pickle.loads(raw)
 
 
@@ -271,7 +283,8 @@ def share_value(value: Any = None, root: int = 0,
     return pickle.loads(raw)
 
 
-def gather(value: Any, root: int = 0, tag: str = "gather") -> list | None:
+def gather(value: Any, root: int = 0, tag: str = "gather",
+           timeout_ms: int = 60_000) -> list | None:
     """Gather host values at ``root`` (serial: [value])."""
     if not more_than_one_process():
         return [value]
@@ -286,11 +299,12 @@ def gather(value: Any, root: int = 0, tag: str = "gather") -> list | None:
     for src in range(process_count()):
         k = _kv_key(tag, src)
         out.append(pickle.loads(client.blocking_key_value_get_bytes(
-            k, 60_000)))
+            k, timeout_ms)))
     return out
 
 
-def allgather(value: Any, tag: str = "allgather") -> list:
+def allgather(value: Any, tag: str = "allgather",
+              timeout_ms: int = 60_000) -> list:
     """All processes receive every process's value (serial: [value])."""
     if not more_than_one_process():
         return [value]
@@ -303,22 +317,22 @@ def allgather(value: Any, tag: str = "allgather") -> list:
     for src in range(process_count()):
         k = _kv_key(tag, src)
         out.append(pickle.loads(client.blocking_key_value_get_bytes(
-            k, 60_000)))
+            k, timeout_ms)))
     return out
 
 
-def zip_gather(list_of_values, root: int = 0):
+def zip_gather(list_of_values, root: int = 0, timeout_ms: int = 60_000):
     """Transpose-gather: [a1, b1] + [a2, b2] -> [(a1, a2), (b1, b2)]."""
-    gathered = gather(list(list_of_values), root=root)
+    gathered = gather(list(list_of_values), root=root, timeout_ms=timeout_ms)
     if gathered is None:
         return None
     return list(zip(*gathered))
 
 
-def array_gather(list_of_arrays, root: int = 0):
+def array_gather(list_of_arrays, root: int = 0, timeout_ms: int = 60_000):
     import numpy as np
 
-    gathered = zip_gather(list_of_arrays, root=root)
+    gathered = zip_gather(list_of_arrays, root=root, timeout_ms=timeout_ms)
     if gathered is None:
         return None
     return [np.array(g) for g in gathered]

@@ -128,9 +128,14 @@ class Minimize(CovmatSampler):
         from ...parallel import state as pstate
 
         if pstate.more_than_one_process():
+            # per-rank minimizations are unsynchronized and can finish
+            # minutes apart; align with a counter-free barrier before the
+            # exchange and give the gather itself a long timeout, so a
+            # slow rank doesn't blow the fast ranks' blocking reads
+            pstate.sync_point("minimize-finalize", timeout_ms=86_400_000)
             per_proc = pstate.allgather(
                 {"xs": np.asarray(xs), "fs": np.asarray(fs)},
-                tag="minimize-results",
+                tag="minimize-results", timeout_ms=3_600_000,
             )
             xs = np.concatenate([p["xs"] for p in per_proc], axis=0)
             fs = np.concatenate([p["fs"] for p in per_proc], axis=0)

@@ -559,12 +559,22 @@ class Nested(Sampler):
         ev_u = np.concatenate([dead_u, u_live_h[order]])
         payload = {"logL": np.asarray(ev_logL, np.float64), "c": ev_c,
                    "u": np.asarray(ev_u), "evals": int(self._n_evals)}
-        gathered = pstate.gather(payload, tag="nested-merge")
+        # The per-rank runs are fully unsynchronized and their termination
+        # iteration is stochastic, so rank finish-time skew is unbounded:
+        # align with a counter-free long barrier before exchanging, and use
+        # long timeouts for the merge itself (root's heap merge + batched
+        # decoration of the full merged set can take minutes).
+        pstate.sync_point("nested-finalize", timeout_ms=86_400_000)
+        merge_timeout_ms = 3_600_000
+        gathered = pstate.gather(payload, tag="nested-merge",
+                                 timeout_ms=merge_timeout_ms)
         if pstate.is_main_process():
             merged = self._merge_runs(gathered)
-            pstate.share(merged, tag="nested-merged")
+            pstate.share(merged, tag="nested-merged",
+                         timeout_ms=merge_timeout_ms)
         else:
-            merged = pstate.share(None, tag="nested-merged")
+            merged = pstate.share(None, tag="nested-merged",
+                                  timeout_ms=merge_timeout_ms)
         self.logZ = merged["logZ"]
         self.logZstd = merged["logZstd"]
         self._n_evals = merged["evals"]
@@ -577,9 +587,11 @@ class Nested(Sampler):
         # merged sample without re-evaluating the whole merged set P times
         if pstate.is_main_process():
             decorated = self._decorate(merged["u"])
-            pstate.share(decorated, tag="nested-decorated")
+            pstate.share(decorated, tag="nested-decorated",
+                         timeout_ms=merge_timeout_ms)
         else:
-            decorated = pstate.share(None, tag="nested-decorated")
+            decorated = pstate.share(None, tag="nested-decorated",
+                                     timeout_ms=merge_timeout_ms)
         self._build_collection(
             merged["u"], merged["logL"], merged["logw"],
             write_output=pstate.is_main_process(), decorated=decorated,

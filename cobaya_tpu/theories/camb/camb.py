@@ -171,9 +171,18 @@ class CAMB(BoltzmannBase):
         if pk_req is not None:
             args.setdefault("redshifts",
                             np.atleast_1d(pk_req.get("z", [0.0]))[::-1])
-            # requested k_max is in 1/Mpc; CAMB's transfer kmax is h/Mpc,
-            # and h isn't known yet — 1.8x covers any h >= 0.55
-            args.setdefault("kmax", pk_req.get("k_max", 2.0) * 1.8)
+            # requested k_max is in 1/Mpc; CAMB's transfer kmax is h/Mpc.
+            # When h is known from this very point's params, convert
+            # exactly; otherwise pad by 2.5x (covers any h >= 0.4) so a
+            # wide H0 prior never gets extrapolated/truncated P(k) near
+            # the requested k_max.
+            h = None
+            if "H0" in args and np.isscalar(args["H0"]):
+                h = float(args["H0"]) / 100.0
+            elif "h" in args and np.isscalar(args["h"]):
+                h = float(args["h"])
+            pad = (1.0 / h) if h and h > 0 else 2.5
+            args.setdefault("kmax", pk_req.get("k_max", 2.0) * pad)
         try:
             pars = self.camb.set_params(**args)
         except Exception as exc:
