@@ -1,0 +1,204 @@
+"""Device-resident Boltzmann surrogate: physics sanity, table-vs-direct
+accuracy, traced-vs-eager parity, and end-to-end cosmology sampling."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from cobaya_tpu.models.model import get_model
+from cobaya_tpu.theories.emulator import background as bg
+from cobaya_tpu.theories.emulator import cmbspec as cs
+from cobaya_tpu.theories.emulator import mockdata as md
+from cobaya_tpu.theories.emulator import power as pw
+
+FID = dict(md.FIDUCIAL)
+
+COSMO_PARAMS = {
+    "ombh2": {"prior": [0.019, 0.026], "ref": 0.02237, "proposal": 1.5e-4},
+    "omch2": {"prior": [0.09, 0.15], "ref": 0.12, "proposal": 1.5e-3},
+    "H0": {"prior": [55, 80], "ref": 67.36, "proposal": 0.6},
+    "tau": {"prior": [0.01, 0.12], "ref": 0.0544, "proposal": 0.008},
+    "logA": {"prior": [2.85, 3.25], "ref": 3.044, "proposal": 0.015},
+    "ns": {"prior": [0.9, 1.05], "ref": 0.9649, "proposal": 0.004},
+}
+X_FID = [0.02237, 0.12, 67.36, 0.0544, 3.044, 0.9649]
+
+
+def test_background_planck_scales():
+    """Exact background must land near the known LCDM benchmark values."""
+    dens = bg.densities(FID, np)
+    zs, rs, dm, th100, zd, rd = bg.acoustic_scales(dens, np)
+    assert abs(zs - 1090) < 10
+    assert abs(rs - 144.4) < 2.0        # Planck: 144.43 Mpc
+    assert abs(th100 - 1.0411) < 0.005  # Planck: 1.04109
+    assert abs(rd - 147.1) < 5.0        # EH98 z_drag fit offset ~2%
+    assert abs(bg.age_gyr(dens, np) - 13.80) < 0.05
+    D, f = bg.growth_at_z(dens, [0.0], np)
+    assert abs(D[0] - 1.0) < 1e-10
+    assert abs(f[0] - dens["om"] ** 0.55) < 0.01
+
+
+def test_power_sanity():
+    s8 = pw.sigma8_0(bg.densities(FID, np), FID, np)
+    assert 0.7 < s8 < 0.95
+    k = np.geomspace(1e-3, 5, 100)
+    dens = bg.densities(FID, np)
+    pl = pw.linear_power(dens, FID, k, [0.0, 1.0], np)
+    pnl = pw.halofit_takahashi(dens, FID, k, [0.0, 1.0], pl, np)
+    # quasi-linear regime unchanged, nonlinear boosted, growth ordering
+    assert abs(pnl[0, 0] / pl[0, 0] - 1) < 0.05
+    assert pnl[0, -1] / pl[0, -1] > 2.0
+    assert np.all(pl[1] < pl[0])
+    # z=1 nonlinear boost smaller than z=0
+    assert pnl[1, -1] / pl[1, -1] < pnl[0, -1] / pl[0, -1]
+
+
+def test_cl_table_matches_direct():
+    """Phase-aligned PCA table reproduces the source off-grid to <2%."""
+    ranges = {p: tuple(v["prior"]) for p, v in COSMO_PARAMS.items()}
+    # table carries un-warp headroom beyond the compared range (the theory
+    # class reserves 12% via _table_lmax)
+    em = cs.ClEmulator.build(ranges, lmax=800, grid_nodes=3, n_pca=40,
+                             ell_stride=6, fixed={"mnu": 0.06})
+    ells = np.arange(801)
+    use = slice(0, 701)
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        q = {p: rng.uniform(*r) for p, r in ranges.items()}
+        q["mnu"] = 0.06
+        direct = cs.acoustic_cls(q, ells, np)
+        emu = em.emulate(q, np)
+        for spec in cs.SPECTRA:
+            scale = np.abs(direct[spec][use]).max()
+            assert np.abs(emu[spec][use] - direct[spec][use]).max() \
+                < 0.02 * scale, spec
+
+
+def test_cl_table_roundtrip(tmp_path):
+    ranges = {p: tuple(v["prior"]) for p, v in COSMO_PARAMS.items()}
+    em = cs.ClEmulator.build(ranges, lmax=300, grid_nodes=3, n_pca=20,
+                             ell_stride=8, fixed={"mnu": 0.06})
+    f = str(tmp_path / "table.npz")
+    em.save(f)
+    em2 = cs.ClEmulator.load(f)
+    q = {p: 0.5 * (r[0] + r[1]) for p, r in ranges.items()}
+    q["mnu"] = 0.06
+    a, b = em.emulate(q, np), em2.emulate(q, np)
+    for spec in cs.SPECTRA:
+        np.testing.assert_allclose(a[spec], b[spec], rtol=0, atol=1e-10)
+
+
+def _joint_info(tmp_path, cl_mode="table", with_bao=True, with_sn=True):
+    dataset = md.make_pliklite_dataset(str(tmp_path / "plik"), lmin=30,
+                                       lmax=500)
+    info = {
+        "theory": {"emulator": {
+            "lmax": 520, "cl_mode": cl_mode, "grid_nodes": 3,
+            "ell_stride": 6,
+        }},
+        "likelihood": {"plik": {
+            "class": "cobaya_tpu.likelihoods.base_classes.PlanckPlikLite",
+            "dataset_file": dataset,
+        }},
+        "params": {
+            **{k: dict(v) for k, v in COSMO_PARAMS.items()},
+            "A_planck": {"prior": [0.9, 1.1], "ref": 1.0,
+                         "proposal": 0.002},
+            "sigma8": {"derived": True},
+            "rdrag": {"derived": True},
+            "omegam": {"derived": True},
+            "thetastar": {"derived": True},
+        },
+    }
+    if with_bao:
+        info["likelihood"]["bao"] = {
+            "class": "cobaya_tpu.likelihoods.base_classes.BAO",
+            "measurements": md.bao_measurements(),
+        }
+    if with_sn:
+        info["likelihood"]["sn"] = {
+            "class": "cobaya_tpu.likelihoods.base_classes.SN",
+            "data": md.sn_data().tolist(),
+            "marginalize_M": True,
+        }
+    return info
+
+
+@pytest.mark.parametrize("cl_mode", ["table", "direct"])
+def test_traced_matches_eager_joint(tmp_path, cl_mode):
+    """Full cosmology pipeline: jitted device path == eager numpy path."""
+    info = _joint_info(tmp_path, cl_mode=cl_mode)
+    model = get_model(info)
+    assert all(like.jittable for like in model.likelihood.values())
+    assert list(model.theory.values())[0].jittable
+    x = np.asarray(X_FID + [1.0], float)
+    eager = model.logposterior(x)
+    with jax.enable_x64(True):
+        fn = jax.jit(model.make_logposterior_fn())
+        lp, lpri, ll, der = fn(np.asarray(x, np.float64))
+    np.testing.assert_allclose(np.asarray(ll), eager.loglikes,
+                               rtol=2e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(der), eager.derived,
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_fiducial_chi2_is_reasonable(tmp_path):
+    """chi2 at the true parameters ~ nbins for the synthetic bandpowers."""
+    info = _joint_info(tmp_path, with_bao=False, with_sn=False)
+    model = get_model(info)
+    lp = model.logposterior(np.asarray(X_FID + [1.0], float))
+    nb = 3 * len(md._bin_edges(30, 500)) - 3
+    chi2 = -2 * lp.loglikes[0]
+    assert chi2 < nb + 6 * np.sqrt(2 * nb), chi2
+    # derived params at fiducial reproduce the generator's cosmology
+    names = list(model.parameterization.derived_params())
+    d = dict(zip(names, lp.derived))
+    assert abs(d["omegam"] - 0.315) < 0.01
+    assert abs(d["rdrag"] - 150.6) < 1.0
+
+
+def test_pk_interpolator_through_provider(tmp_path):
+    info = {
+        "theory": {"emulator": {"lmax": 100, "grid_nodes": 3,
+                                "ell_stride": 8}},
+        "likelihood": {"pklike": {
+            "external": lambda _self=None: 0.0,
+            "requires": {"Pk_interpolator": {
+                "z": [0.0, 0.5], "k_max": 5.0, "nonlinear": True,
+                "vars_pairs": [["delta_tot", "delta_tot"]]},
+                "sigma8_z": {"z": [0.0, 0.5]},
+                "fsigma8": {"z": [0.5]}},
+        }},
+        "params": {k: dict(v) for k, v in COSMO_PARAMS.items()},
+    }
+    model = get_model(info)
+    model.logposterior(np.asarray(X_FID, float))
+    th = list(model.theory.values())[0]
+    interp = th.get_Pk_interpolator(nonlinear=True)
+    lin = th.get_Pk_interpolator(nonlinear=False)
+    assert interp.P(0.0, 1.0) > lin.P(0.0, 1.0)
+    assert lin.P(0.5, 0.1) < lin.P(0.0, 0.1)
+    s8z = th.get_sigma8_z([0.0, 0.5])
+    assert s8z[0] > s8z[1] > 0.3
+    fs8 = th.get_fsigma8([0.5])
+    assert 0.3 < fs8[0] < 0.7
+
+
+def test_e2e_cosmo_mcmc_short(tmp_path):
+    """Short adaptive-MCMC run through the full device cosmology stack."""
+    from cobaya_tpu.run import run
+
+    info = _joint_info(tmp_path)
+    info["sampler"] = {"mcmc": {
+        "max_samples": 300, "n_chains": 8, "seed": 3, "burn_in": 0,
+        "measure_speeds": False,
+    }}
+    upd, sampler = run(info)
+    products = sampler.products()
+    assert "sample" in products
+    col = products["sample"]
+    assert len(col) > 0
+    # derived columns present and finite
+    assert np.isfinite(np.asarray(
+        col["sigma8"], float)).all()
