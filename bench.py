@@ -99,8 +99,38 @@ def multichain_ess(records, burn_frac=0.5):
     return ess, tau
 
 
+COSMO_BASELINE_ESS_PER_S = None  # measured: scripts/measure_cosmo_baseline.py
+_cosmo_baseline_file = os.path.join(os.path.dirname(__file__),
+                                    "bench_cosmo_baseline.json")
+if os.path.exists(_cosmo_baseline_file):
+    with open(_cosmo_baseline_file) as f:
+        COSMO_BASELINE_ESS_PER_S = json.load(f)["ess_per_s"]
+
+
+def build_cosmo_info(n_chains: int):
+    """Flagship Planck-like cosmology model, fully on device (26 params)."""
+    from cobaya_tpu.theories.emulator import benchmodel as bm
+
+    info = bm.flagship_info("/tmp/cobaya_tpu_bench_data")
+    covmat, covmat_params = bm.proposal_covmat()
+    info["sampler"] = {"mcmc": {
+        "seed": 1,
+        "n_chains": n_chains,
+        "covmat": covmat,
+        "covmat_params": covmat_params,
+        "Rminus1_stop": 0.01,
+        "Rminus1_cl_stop": 1e6,
+        "learn_every": "40d",
+        "records_per_epoch": 64,
+        "fetch_chains": 8,
+        "max_samples": 400000,
+    }}
+    return info, bm
+
+
 def run_one(kind: str, dim: int, n_chains: int,
-            validate_walkers: int = 512) -> dict:
+            validate_walkers: int = 512,
+            max_samples: int | None = None) -> dict:
     """Run one sampler to convergence; return a labeled result row."""
     import jax
 
@@ -108,7 +138,15 @@ def run_one(kind: str, dim: int, n_chains: int,
     from cobaya_tpu.samplers.sampler import get_sampler
 
     t_setup = time.time()
-    info, cov = build_info(dim=dim, n_chains=n_chains)
+    bm = None
+    if kind == "cosmo":
+        n_chains = min(n_chains, 8192)  # larger activation footprint
+        info, bm = build_cosmo_info(n_chains)
+        dim = len(info["params"]) - len(bm.DERIVED)
+    else:
+        info, cov = build_info(dim=dim, n_chains=n_chains)
+    if max_samples:  # smoke-test override
+        next(iter(info["sampler"].values()))["max_samples"] = max_samples
     if kind == "hmc":
         opts = info["sampler"].pop("mcmc")
         opts.pop("oversample_power", None)
@@ -144,19 +182,42 @@ def run_one(kind: str, dim: int, n_chains: int,
         tau_wide = multichain_ess([sampler._records[-1]], burn_frac=0)[1]
     except Exception as exc:  # diagnostics only; never fail the bench
         print(f"[bench] extrapolation check failed: {exc}", file=sys.stderr)
-    algo = ("HMC kernel (gradient-based)" if kind == "hmc"
-            else "adaptive blocked Metropolis (reference algorithm)")
+    if kind == "cosmo":
+        metric = (f"ESS/sec, {dim}-param Planck-like cosmology "
+                  "(device Boltzmann surrogate + plik-lite + CamSpec FG + "
+                  "BAO + SN), adaptive blocked Metropolis, to R-1<0.01")
+        baseline = COSMO_BASELINE_ESS_PER_S
+    else:
+        algo = ("HMC kernel (gradient-based)" if kind == "hmc"
+                else "adaptive blocked Metropolis (reference algorithm)")
+        metric = (f"ESS/sec, {dim}-D correlated Gaussian, {algo}, "
+                  "to R-1<0.01")
+        baseline = REFERENCE_ESS_PER_S
     row = {
-        "metric": (f"ESS/sec, {dim}-D correlated Gaussian, {algo}, "
-                   "to R-1<0.01"),
+        "metric": metric,
         "value": round(ess_per_s, 2),
         "unit": "effective samples/s",
-        "vs_baseline": round(ess_per_s / REFERENCE_ESS_PER_S, 2),
+        "vs_baseline": (round(ess_per_s / baseline, 2)
+                        if baseline else None),
         "sampler": kind,
         "tau_records_subsample": round(tau, 3),
         "tau_records_wide": (round(tau_wide, 3)
                              if tau_wide is not None else None),
     }
+    if kind == "cosmo":
+        # posterior-recovery check against the known synthetic truth:
+        # max |posterior mean - truth| / posterior std over the 6 LCDM
+        # params, from the fetched walker records (post-burn half)
+        xs = np.concatenate(
+            [r["x"] for r in sampler._records[len(sampler._records)//2:]],
+            axis=0)
+        names = list(info["params"])
+        zmax = 0.0
+        for i, p in enumerate(list(bm.COSMO_PARAMS)):
+            mu, sd = xs[..., i].mean(), xs[..., i].std()
+            zmax = max(zmax, abs(mu - bm.TRUTH[p]) / max(sd, 1e-12))
+        row["recovery_max_z"] = round(float(zmax), 2)
+        row["recovery_ok"] = bool(zmax < 6.0)
     print(
         f"[bench] {kind}: devices={n_dev} setup+compile={t_compile:.1f}s "
         f"wall={t_run:.1f}s steps/walker="
@@ -179,13 +240,19 @@ def main():
     parser.add_argument("--n-chains", type=int, default=16384)
     parser.add_argument("--dim", type=int, default=50)
     parser.add_argument(
-        "--sampler", default="both", choices=["mcmc", "hmc", "both"],
+        "--sampler", default="all",
+        choices=["mcmc", "hmc", "cosmo", "both", "all"],
         help="mcmc: the reference's Metropolis algorithm (apples-to-apples);"
              " hmc: gradient-based kernel exploiting the jitted posterior;"
-             " both (default): run the two and report both rows")
+             " cosmo: the end-to-end on-device cosmology pipeline;"
+             " all (default): every row")
+    parser.add_argument("--max-samples", type=int, default=None,
+                        help="cap steps/walker (smoke tests)")
     ns = parser.parse_args()
-    kinds = ["mcmc", "hmc"] if ns.sampler == "both" else [ns.sampler]
-    rows = [run_one(k, ns.dim, ns.n_chains) for k in kinds]
+    kinds = {"both": ["mcmc", "hmc"],
+             "all": ["mcmc", "hmc", "cosmo"]}.get(ns.sampler, [ns.sampler])
+    rows = [run_one(k, ns.dim, ns.n_chains, max_samples=ns.max_samples)
+            for k in kinds]
     # ONE JSON line for the driver: the headline is the fastest row (HMC),
     # honestly labeled; the same-algorithm MCMC row rides along in "rows"
     head = max(rows, key=lambda r: r["value"])

@@ -1,0 +1,157 @@
+"""The flagship cosmology benchmark model: Planck-like, fully on device.
+
+One canonical ~26-parameter inference setup shared by ``bench.py``, the
+CPU reference-baseline script, the driver entry point and the tests:
+
+- theory: :class:`EmulatorCosmology` (phase-aligned Cl table; exact
+  background; EH98+halofit P(k)) — jittable, zero host involvement;
+- likelihoods: synthetic plik-lite TTTEEE at full Planck ell range
+  (calibration nuisance), synthetic CamSpec with the full 15-parameter
+  foreground model + 4 calibrations, BAO (distances, H, f sigma8) and SN
+  (M-marginalized) — every one evaluated by its ``logp_jax`` device path;
+- sampled parameters: 6 LCDM + A_planck + 15 foregrounds + 4 calibrations.
+
+The datasets are generated deterministically from the surrogate's own
+fiducial (:mod:`.mockdata`), so truth is known and posterior recovery is
+assertable.  Mirrors the reference's Planck-baseline workload
+(/root/reference/cobaya/cosmo_input/input_database.py presets) at the
+structural level: same parameter count, same likelihood families, same
+speed hierarchy (slow theory block + fast nuisance block).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from . import mockdata as md
+
+COSMO_PARAMS = {
+    "ombh2": {"prior": {"min": 0.019, "max": 0.026}, "ref": 0.02237,
+              "proposal": 1.5e-4, "latex": r"\Omega_\mathrm{b} h^2"},
+    "omch2": {"prior": {"min": 0.09, "max": 0.15}, "ref": 0.12,
+              "proposal": 1.5e-3, "latex": r"\Omega_\mathrm{c} h^2"},
+    "H0": {"prior": {"min": 55.0, "max": 80.0}, "ref": 67.36,
+           "proposal": 0.6, "latex": r"H_0"},
+    "tau": {"prior": {"min": 0.01, "max": 0.12}, "ref": 0.0544,
+            "proposal": 0.008, "latex": r"\tau_\mathrm{reio}"},
+    "logA": {"prior": {"min": 2.85, "max": 3.25}, "ref": 3.044,
+             "proposal": 0.015, "latex": r"\log(10^{10} A_\mathrm{s})"},
+    "ns": {"prior": {"min": 0.9, "max": 1.05}, "ref": 0.9649,
+           "proposal": 0.004, "latex": r"n_\mathrm{s}"},
+}
+
+_FG = md.CAMSPEC_FG_FIDUCIAL
+NUISANCE_PARAMS = {
+    "A_planck": {"prior": {"dist": "norm", "loc": 1.0, "scale": 0.0025},
+                 "ref": 1.0, "proposal": 0.002},
+    "aps100": {"prior": {"min": 0.0, "max": 400.0}, "ref": _FG["aps100"],
+               "proposal": 10.0},
+    "aps143": {"prior": {"min": 0.0, "max": 200.0}, "ref": _FG["aps143"],
+               "proposal": 4.0},
+    "aps217": {"prior": {"min": 0.0, "max": 200.0}, "ref": _FG["aps217"],
+               "proposal": 4.0},
+    "psr": {"prior": {"min": 0.0, "max": 1.0}, "ref": _FG["psr"],
+            "proposal": 0.05},
+    "acib217": {"prior": {"min": 0.0, "max": 200.0},
+                "ref": _FG["acib217"], "proposal": 4.0},
+    "cibr": {"prior": {"min": 0.0, "max": 1.0}, "ref": _FG["cibr"],
+             "proposal": 0.03},
+    "ncib": {"prior": {"min": -2.0, "max": 2.0}, "ref": _FG["ncib"],
+             "proposal": 0.06},
+    "cibrun": {"prior": {"min": -1.0, "max": 1.0}, "ref": _FG["cibrun"],
+               "proposal": 0.06},
+    "asz143": {"prior": {"min": 0.0, "max": 20.0}, "ref": _FG["asz143"],
+               "proposal": 0.6},
+    "xi": {"prior": {"min": 0.0, "max": 0.5}, "ref": _FG["xi"],
+           "proposal": 0.03},
+    "aksz": {"prior": {"min": 0.0, "max": 10.0}, "ref": _FG["aksz"],
+             "proposal": 0.4},
+    "dust100": {"prior": {"min": 0.0, "max": 3.0}, "ref": 1.0,
+                "proposal": 0.06},
+    "dust143": {"prior": {"min": 0.0, "max": 3.0}, "ref": 1.0,
+                "proposal": 0.06},
+    "dust217": {"prior": {"min": 0.0, "max": 3.0}, "ref": 1.0,
+                "proposal": 0.06},
+    "dust143x217": {"prior": {"min": 0.0, "max": 3.0}, "ref": 1.0,
+                    "proposal": 0.06},
+    "cal0": {"prior": {"dist": "norm", "loc": 1.0, "scale": 0.001},
+             "ref": 1.0, "proposal": 0.0008},
+    "cal2": {"prior": {"dist": "norm", "loc": 1.0, "scale": 0.001},
+             "ref": 1.0, "proposal": 0.0008},
+    "calTE": {"prior": {"dist": "norm", "loc": 1.0, "scale": 0.01},
+              "ref": 1.0, "proposal": 0.005},
+    "calEE": {"prior": {"dist": "norm", "loc": 1.0, "scale": 0.01},
+              "ref": 1.0, "proposal": 0.005},
+}
+
+TRUTH = {**{p: v["ref"] for p, v in COSMO_PARAMS.items()},
+         **{p: v["ref"] for p, v in NUISANCE_PARAMS.items()}}
+
+DERIVED = ("sigma8", "omegam", "rdrag", "thetastar")
+
+
+def make_datasets(root: str, pliklite_lmax: int = 2508,
+                  camspec_lmax: int = 600) -> dict:
+    """Generate (or reuse) the synthetic datasets under ``root``."""
+    plik_ini = os.path.join(root, "plik", "pliklite_synthetic.dataset")
+    if not os.path.exists(plik_ini):
+        plik_ini = md.make_pliklite_dataset(
+            os.path.join(root, "plik"), lmin=30, lmax=pliklite_lmax)
+    cams_ini = os.path.join(root, "camspec", "camspec_synthetic.dataset")
+    if not os.path.exists(cams_ini):
+        cams_ini = md.make_camspec_dataset(
+            os.path.join(root, "camspec"), lmin=30, lmax=camspec_lmax)
+    return {"pliklite": plik_ini, "camspec": cams_ini}
+
+
+def flagship_info(datasets_root: str, pliklite_lmax: int = 2508,
+                  camspec_lmax: int = 600, grid_nodes: int = 4,
+                  ell_stride: int = 6, with_derived: bool = True) -> dict:
+    """Full model info dict (no sampler block)."""
+    paths = make_datasets(datasets_root, pliklite_lmax, camspec_lmax)
+    params = {**{k: dict(v) for k, v in COSMO_PARAMS.items()},
+              **{k: dict(v) for k, v in NUISANCE_PARAMS.items()}}
+    if with_derived:
+        for d in DERIVED:
+            params[d] = {"derived": True}
+    return {
+        "theory": {"emulator": {
+            "lmax": max(pliklite_lmax, camspec_lmax),
+            "cl_mode": "table", "grid_nodes": grid_nodes,
+            "ell_stride": ell_stride,
+        }},
+        "likelihood": {
+            "pliklite": {
+                "class":
+                    "cobaya_tpu.likelihoods.base_classes.PlanckPlikLite",
+                "dataset_file": paths["pliklite"],
+            },
+            "camspec": {
+                "class": "cobaya_tpu.likelihoods.base_classes.CamSpec",
+                "dataset_file": paths["camspec"],
+                "use_cl": ["100x100", "143x143", "217x217", "143x217",
+                           "TE", "EE"],
+            },
+            "bao": {
+                "class": "cobaya_tpu.likelihoods.base_classes.BAO",
+                "measurements": md.bao_measurements(),
+            },
+            "sn": {
+                "class": "cobaya_tpu.likelihoods.base_classes.SN",
+                "data": md.sn_data().tolist(),
+                "marginalize_M": True,
+            },
+        },
+        "params": params,
+    }
+
+
+def proposal_covmat() -> tuple[np.ndarray, list]:
+    """Diagonal proposal covmat from the per-parameter proposal widths."""
+    names = list(COSMO_PARAMS) + list(NUISANCE_PARAMS)
+    widths = np.array([
+        {**COSMO_PARAMS, **NUISANCE_PARAMS}[p]["proposal"] for p in names
+    ])
+    return np.diag(widths ** 2), names

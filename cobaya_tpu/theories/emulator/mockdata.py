@@ -141,6 +141,120 @@ def make_pliklite_dataset(path: str, fiducial: dict | None = None,
     return ini
 
 
+CAMSPEC_FG_FIDUCIAL = {
+    "aps100": 200.0, "aps143": 60.0, "aps217": 60.0, "psr": 0.7,
+    "acib217": 50.0, "cibr": 0.9, "ncib": 0.0, "cibrun": 0.0,
+    "asz143": 5.0, "xi": 0.1, "aksz": 1.0,
+    "dust100": 1.0, "dust143": 1.0, "dust217": 1.0, "dust143x217": 1.0,
+}
+# per-frequency effective noise (muK-arcmin) and beams (arcmin)
+_CAMSPEC_NOISE = {"100": (70.0, 9.7), "143": (33.0, 7.3),
+                  "217": (47.0, 5.0)}
+
+
+def make_camspec_dataset(path: str, fiducial: dict | None = None,
+                         fg_fiducial: dict | None = None, lmin: int = 30,
+                         lmax: int = 600, seed: int = 4) -> str:
+    """Write a synthetic CamSpec-format dataset; returns the ini path.
+
+    Layout matches what :class:`~...base_classes.camspec.CamSpec` reads
+    (reference planck_2018_CamSpec_python.py formats): per-ell Cl-hat
+    columns for the four TT cross-spectra + TE/EE, data_ranges, foreground
+    templates reaching the l=3000 pivot, and a float64 Knox-diagonal
+    covariance.  Data = fiducial surrogate D_l + fiducial foregrounds +
+    a noise draw, so chi2(true params) ~ n_data.
+    """
+    os.makedirs(path, exist_ok=True)
+    fid = dict(FIDUCIAL, **(fiducial or {}))
+    fg_fid = dict(CAMSPEC_FG_FIDUCIAL, **(fg_fiducial or {}))
+    rng = np.random.default_rng(seed)
+    ells = np.arange(lmax + 1)
+    dls = cs.acoustic_cls(fid, ells, np)
+
+    # foreground templates (l(l+1)Cl/2pi, start at l=2, reach pivot 3000)
+    ls_t = np.arange(2, 3501)
+
+    def wtemp(fname, values):
+        np.savetxt(os.path.join(path, fname),
+                   np.column_stack([ls_t, values]))
+
+    wtemp("sz143.dat", 6.0 * (ls_t / 3000.0) ** 0.9)
+    wtemp("ksz.dat", 3.0 * np.ones_like(ls_t, float))
+    wtemp("tszxcib.dat", 2.0 * (ls_t / 3000.0) ** 0.6)
+    wtemp("cib217.dat", 60.0 * (ls_t / 3000.0) ** 0.8)
+    for f, amp in (("dust100.dat", 6.0), ("dust143.dat", 8.0),
+                   ("dust217.dat", 60.0), ("dust143x217.dat", 22.0)):
+        wtemp(f, amp * (ls_t / 200.0) ** -0.4)
+
+    names = ["100x100", "143x143", "217x217", "143x217", "TE", "EE"]
+    freqs = [("100", "100"), ("143", "143"), ("217", "217"),
+             ("143", "217")]
+    with open(os.path.join(path, "ranges.dat"), "w") as f:
+        for name in names:
+            f.write(f"{name} {lmin} {lmax}\n")
+
+    # instantiate the likelihood machinery once just to evaluate the
+    # fiducial foreground model with the exact template conventions
+    from ...likelihoods.base_classes.camspec import CamSpec
+
+    spectra = np.zeros((lmax + 1, 6))
+    np.savetxt(os.path.join(path, "spectra.dat"), spectra)
+    n_per = lmax - lmin + 1
+    nX = 6 * n_per
+    # placeholder cov of the right size so the class initializes
+    np.eye(nX, dtype=np.float64).tofile(os.path.join(path, "cov64.bin"))
+    ini = os.path.join(path, "camspec_synthetic.dataset")
+    with open(ini, "w") as f:
+        f.write(
+            "cl_hat_file = spectra.dat\ndata_ranges = ranges.dat\n"
+            "covmat_fiducial = cov64.bin\n"
+            "sz143file = sz143.dat\nkszfile = ksz.dat\n"
+            "tszxcibfile = tszxcib.dat\ncib217file = cib217.dat\n"
+            "dust100file = dust100.dat\ndust143file = dust143.dat\n"
+            "dust217file = dust217.dat\ndust143x217file = dust143x217.dat\n"
+        )
+    helper = CamSpec({"dataset_file": ini, "use_cl": names},
+                     name="camspec_mockgen")
+    fg = helper.get_foregrounds(fg_fid)  # (4, lmax+1) D_l
+
+    def nl(freq, pol):
+        arcmin = np.pi / 180.0 / 60.0
+        rms, beam = _CAMSPEC_NOISE[freq]
+        if pol:
+            rms *= 2.0
+        theta = beam * arcmin
+        white = (rms * arcmin) ** 2 * np.exp(
+            ells * (ells + 1.0) * theta ** 2 / (8 * np.log(2)))
+        return ells * (ells + 1.0) / (2 * np.pi) * white
+
+    nu = (2.0 * ells + 1.0) * FSKY
+    model = np.zeros((lmax + 1, 6))
+    var = np.zeros((lmax + 1, 6))
+    for i, (f1, f2) in enumerate(freqs):
+        sig = dls["tt"] + fg[i]
+        model[:, i] = sig
+        a = dls["tt"] + fg[i] + nl(f1, False)
+        b = dls["tt"] + fg[i] + nl(f2, False)
+        var[:, i] = (sig ** 2 + a * b) / nu if f1 != f2 \
+            else 2.0 * a ** 2 / nu
+    model[:, 4] = dls["te"]
+    var[:, 4] = (dls["te"] ** 2
+                 + (dls["tt"] + nl("143", False))
+                 * (dls["ee"] + nl("143", True))) / nu
+    model[:, 5] = dls["ee"]
+    var[:, 5] = 2.0 * (dls["ee"] + nl("143", True)) ** 2 / nu
+
+    spectra = model + rng.standard_normal(model.shape) * np.sqrt(
+        np.maximum(var, 1e-30))
+    spectra[:2] = 0.0
+    np.savetxt(os.path.join(path, "spectra.dat"), spectra)
+    cov = np.zeros((nX, nX))
+    diag = np.concatenate([var[lmin:lmax + 1, i] for i in range(6)])
+    np.fill_diagonal(cov, np.maximum(diag, 1e-30))
+    cov.tofile(os.path.join(path, "cov64.bin"))
+    return ini
+
+
 def bao_measurements(fiducial: dict | None = None, seed: int = 1,
                      frac_err: float = 0.012):
     """Synthetic BAO table [(z, value, err, observable), ...] at fiducial."""

@@ -185,6 +185,30 @@ def test_pk_interpolator_through_provider(tmp_path):
     assert 0.3 < fs8[0] < 0.7
 
 
+def test_flagship_benchmodel_parity(tmp_path):
+    """26-param flagship model (pliklite + CamSpec FG + BAO + SN):
+    device path == eager path, chi2(truth) ~ n_data."""
+    from cobaya_tpu.theories.emulator import benchmodel as bm
+
+    info = bm.flagship_info(str(tmp_path), pliklite_lmax=400,
+                            camspec_lmax=200, grid_nodes=3, ell_stride=8)
+    model = get_model(info)
+    assert all(like.jittable for like in model.likelihood.values())
+    x = np.array([bm.TRUTH[p] for p in
+                  list(bm.COSMO_PARAMS) + list(bm.NUISANCE_PARAMS)])
+    eager = model.logposterior(x)
+    nb_plik = 3 * (len(md._bin_edges(30, 400)) - 1)
+    chi2 = -2 * eager.loglikes[0]
+    assert chi2 < nb_plik + 6 * np.sqrt(2 * nb_plik)
+    n_cams = 6 * (200 - 30 + 1)
+    chi2c = -2 * eager.loglikes[1]
+    assert chi2c < n_cams + 6 * np.sqrt(2 * n_cams)
+    with jax.enable_x64(True):
+        fn = jax.jit(model.make_logposterior_fn())
+        ll = np.asarray(fn(np.asarray(x, np.float64))[2])
+    np.testing.assert_allclose(ll, eager.loglikes, rtol=3e-4, atol=2e-3)
+
+
 def test_e2e_cosmo_mcmc_short(tmp_path):
     """Short adaptive-MCMC run through the full device cosmology stack."""
     from cobaya_tpu.run import run
