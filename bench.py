@@ -99,12 +99,12 @@ def multichain_ess(records, burn_frac=0.5):
     return ess, tau
 
 
-COSMO_BASELINE_ESS_PER_S = None  # measured: scripts/measure_cosmo_baseline.py
+COSMO_BASELINE_EVALS_PER_S = None  # scripts/measure_cosmo_baseline.py
 _cosmo_baseline_file = os.path.join(os.path.dirname(__file__),
                                     "bench_cosmo_baseline.json")
 if os.path.exists(_cosmo_baseline_file):
     with open(_cosmo_baseline_file) as f:
-        COSMO_BASELINE_ESS_PER_S = json.load(f)["ess_per_s"]
+        COSMO_BASELINE_EVALS_PER_S = json.load(f)["evals_per_s"]
 
 
 def build_cosmo_info(n_chains: int):
@@ -186,7 +186,13 @@ def run_one(kind: str, dim: int, n_chains: int,
         metric = (f"ESS/sec, {dim}-param Planck-like cosmology "
                   "(device Boltzmann surrogate + plik-lite + CamSpec FG + "
                   "BAO + SN), adaptive blocked Metropolis, to R-1<0.01")
-        baseline = COSMO_BASELINE_ESS_PER_S
+        # same algorithm on the same posterior -> ESS/eval is common;
+        # the reference baseline is its measured eval throughput times
+        # this run's ESS-per-eval (see scripts/measure_cosmo_baseline.py)
+        baseline = None
+        if COSMO_BASELINE_EVALS_PER_S:
+            total_evals = sampler.n_steps * sampler.n_chains
+            baseline = COSMO_BASELINE_EVALS_PER_S * ess / total_evals
     else:
         algo = ("HMC kernel (gradient-based)" if kind == "hmc"
                 else "adaptive blocked Metropolis (reference algorithm)")
@@ -218,6 +224,9 @@ def run_one(kind: str, dim: int, n_chains: int,
             zmax = max(zmax, abs(mu - bm.TRUTH[p]) / max(sd, 1e-12))
         row["recovery_max_z"] = round(float(zmax), 2)
         row["recovery_ok"] = bool(zmax < 6.0)
+        row["baseline_method"] = (
+            "reference evals/s on identical posterior x this run's "
+            "ESS/eval (same algorithm; ESS/eval is common)")
     print(
         f"[bench] {kind}: devices={n_dev} setup+compile={t_compile:.1f}s "
         f"wall={t_run:.1f}s steps/walker="

@@ -51,6 +51,7 @@ class Nested(Sampler):
     cluster_evolution: bool
     cluster_every: int
     cluster_linking_scale: float
+    checkpoint_every: int
 
     def initialize(self):
         import jax
@@ -365,16 +366,21 @@ class Nested(Sampler):
         import jax.numpy as jnp
 
         n, K, d = self._nlive, self._batch, self.d
-        key = self.next_jax_key()
-        key, k0 = jax.random.split(key)
-        u_live = jax.random.uniform(k0, (n, d), dtype=self._dtype)
+        resumed = self._restore_checkpoint()
+        if resumed is not None:
+            u_live, logL_live, key = resumed
+        else:
+            key = self.next_jax_key()
+            key, k0 = jax.random.split(key)
+            u_live = jax.random.uniform(k0, (n, d), dtype=self._dtype)
         if self._mesh is not None:
             from ...parallel.mesh import chain_sharding
 
             u_live = jax.device_put(u_live, chain_sharding(self._mesh))
-        logL_live = self._loglike_batch(u_live)
+        if resumed is None:
+            logL_live = self._loglike_batch(u_live)
+            self._n_evals += n
         cache_live = self._init_cache(u_live)
-        self._n_evals += n
         # cluster-aware evolution state (host recomputed periodically)
         n_blocks = len(self._block_indices)
         maxc = max(int(self.max_clusters), 1)
@@ -387,11 +393,30 @@ class Nested(Sampler):
             n, K, self._num_repeats, d,
         )
         # host-side f64 evidence ledger
-        dead_u_all, dead_logL_all, dead_logw_all = [], [], []
-        logZ = -np.inf
-        logX = 0.0
-        H = 0.0
-        it = 0
+        if resumed is not None:
+            s = self._resume_state
+            dead_u_all = [np.asarray(s["dead_u"])] if len(s["dead_u"]) \
+                else []
+            dead_logL_all = [np.asarray(s["dead_logL"])] if \
+                len(s["dead_logL"]) else []
+            dead_logw_all = list(np.asarray(s["dead_logw"]))
+            logZ = float(s["logZ"])
+            logX = float(s["logX"])
+            H = float(s["H"])
+            it = int(s["it"])
+            self._n_evals = int(s["n_evals"])
+            self._resume_state = None
+            self.mpi_info(
+                "Resumed nested run at generation %d (%d dead points, "
+                "logZ so far %.4f).", it, it * K, logZ,
+            )
+        else:
+            dead_u_all, dead_logL_all, dead_logw_all = [], [], []
+            logZ = -np.inf
+            logX = 0.0
+            H = 0.0
+            it = 0
+        checkpoint_every = max(int(self.checkpoint_every or 0), 0)
         while True:
             it += 1
             (u_live, logL_live, cache_live, key, cluster_ids, dead_u,
@@ -435,6 +460,11 @@ class Nested(Sampler):
                 dead_logw_all.append(logw)
             dead_u_all.append(dead_u_h)
             dead_logL_all.append(dead_logL_h)
+            if checkpoint_every and it % checkpoint_every == 0:
+                self._write_checkpoint(
+                    u_live, logL_live, key, dead_u_all, dead_logL_all,
+                    dead_logw_all, logZ, logX, H, it,
+                )
             # stopping: live evidence fraction
             logL_max = float(np.max(logL_live_h))
             live_frac = logL_max + logX - logZ
@@ -493,6 +523,94 @@ class Nested(Sampler):
             dead_logw_np, np.full(n, logw_live)
         ])
         self._build_collection(all_u, all_logL, all_logw)
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (reference capability: PolyChord read_resume,
+    # /root/reference/cobaya/samplers/polychord/polychord.py:146-153)
+    # ------------------------------------------------------------------
+    def _load_checkpoint(self):
+        """Stash the saved state at init time (validated in run())."""
+        import os
+
+        fn = self.state_filename
+        self._resume_state = None
+        if fn and os.path.exists(fn):
+            with np.load(fn) as data:
+                self._resume_state = {k: data[k] for k in data.files}
+
+    def _write_checkpoint(self, u_live, logL_live, key, dead_u_all,
+                          dead_logL_all, dead_logw_all, logZ, logX, H, it):
+        """Save the full resumable state: live points, RNG, ledger, dead."""
+        if not self.output:
+            return
+        import jax
+
+        from ...parallel import state as pstate
+
+        u_h, logL_h = jax.device_get((u_live, logL_live))
+        np.savez(
+            self.state_filename,
+            u_live=np.asarray(u_h), logL_live=np.asarray(logL_h),
+            key=np.asarray(jax.random.key_data(key)),
+            dead_u=(np.concatenate(dead_u_all) if dead_u_all
+                    else np.zeros((0, self.d))),
+            dead_logL=(np.concatenate(dead_logL_all) if dead_logL_all
+                       else np.zeros(0)),
+            dead_logw=np.asarray(dead_logw_all),
+            logZ=logZ, logX=logX, H=H, it=it, n_evals=self._n_evals,
+        )
+        self.write_checkpoint_info({
+            "converged": False,
+            "mpi_size": pstate.process_count(),
+            "nlive": self._nlive,
+            "generations": int(it),
+            "ndead": int(it * self._batch),
+            "logZ_so_far": float(logZ),
+        })
+
+    def _restore_checkpoint(self):
+        """Validate + restore live state; None when starting fresh."""
+        import jax
+        import jax.numpy as jnp
+
+        from ...parallel import state as pstate
+
+        state = getattr(self, "_resume_state", None)
+        if state is None:
+            return None
+        info = self.read_checkpoint_info() or {}
+        old_size = info.get("mpi_size")
+        if old_size is not None and int(old_size) != \
+                pstate.process_count():
+            raise LoggedError(
+                self.log,
+                "Cannot resume: the nested run was checkpointed with %s "
+                "process(es), but this launch has %d.",
+                old_size, pstate.process_count(),
+            )
+        if state["u_live"].shape != (self._nlive, self.d):
+            raise LoggedError(
+                self.log,
+                "Cannot resume: stored live points have shape %s, this "
+                "configuration needs (%d, %d).",
+                state["u_live"].shape, self._nlive, self.d,
+            )
+        u_live = jnp.asarray(state["u_live"], self._dtype)
+        logL_live = jnp.asarray(state["logL_live"], self._dtype)
+        key = jax.random.wrap_key_data(jnp.asarray(state["key"]))
+        return u_live, logL_live, key
+
+    @classmethod
+    def output_files_regexps(cls, output, info=None, minimal=False):
+        import re
+
+        regexps = [output.collection_regexp()]
+        if not minimal:
+            regexps.append(re.compile(
+                re.escape(output.prefix) + r"\.nested(\.\d+)?\."
+                r"(checkpoint|state\.npz|logZ|clusters.*)$"
+            ))
+        return regexps
 
     def _decorate(self, all_u):
         """One batched call: x, per-prior logps, per-like logps, derived."""

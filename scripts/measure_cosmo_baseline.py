@@ -121,8 +121,15 @@ def main(budget_s: float = 120.0):
     }}
     mcmc = get_sampler(sampler_info, model)
 
+    # The posterior is expensive on CPU (~1 eval/s): a full ESS
+    # measurement is impractical, so this script measures eval
+    # *throughput* over the budget.  bench.py converts it to a baseline
+    # ESS/s using the TPU run's measured ESS/eval — valid because both
+    # run the same adaptive Metropolis algorithm on the same posterior,
+    # so ESS per posterior evaluation is a property of the algorithm +
+    # posterior, not of the hardware.
     t0 = time.time()
-    slice_samples = 500
+    slice_samples = 20
     total_accepted = 0
     while time.time() - t0 < budget_s:
         mcmc.max_samples = total_accepted + slice_samples
@@ -135,24 +142,7 @@ def main(budget_s: float = 120.0):
     elapsed = time.time() - t0
     coll = mcmc.collection
     weights = coll["weight"].to_numpy()
-    x = coll[order].to_numpy()
-    x_full = np.repeat(x, weights.astype(int), axis=0)
-    half = x_full[len(x_full) // 2:]
-    ess_per_dim = []
-    for j in range(len(order)):
-        v = half[:, j] - half[:, j].mean()
-        f = np.fft.rfft(v, 2 * len(v))
-        acf = np.fft.irfft(f * np.conj(f))[: len(v)]
-        acf /= max(acf[0], 1e-30)
-        tau = 1.0
-        for k in range(1, min(len(acf) - 1, 10000), 2):
-            pair = acf[k] + acf[k + 1]
-            if pair < 0:
-                break
-            tau += 2 * pair
-        ess_per_dim.append(len(v) / tau)
-    ess = float(np.median(ess_per_dim))
-    ess_rate = ess / (elapsed / 2)
+    n_evals = int(weights.sum()) + getattr(mcmc, "burn_in_left", 0)
     result = {
         "framework": "cobaya (reference)",
         "config": ("26-param Planck-like synthetic cosmology "
@@ -160,10 +150,11 @@ def main(budget_s: float = 120.0):
                    "adaptive MCMC, 1 chain, CPU"),
         "elapsed_s": elapsed,
         "accepted": len(coll),
-        "posterior_evals": int(weights.sum()),
-        "evals_per_s": float(weights.sum()) / elapsed,
-        "ess_median": ess,
-        "ess_per_s": ess_rate,
+        "posterior_evals": n_evals,
+        "evals_per_s": n_evals / elapsed,
+        "note": ("evals/s only; bench.py derives baseline ESS/s as "
+                 "evals_per_s x the TPU run's ESS/eval (same algorithm, "
+                 "same posterior)"),
     }
     print(json.dumps(result, indent=2))
     with open(os.path.join(REPO, "bench_cosmo_baseline.json"), "w") as f:

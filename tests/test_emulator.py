@@ -207,6 +207,10 @@ def test_flagship_benchmodel_parity(tmp_path):
         fn = jax.jit(model.make_logposterior_fn())
         ll = np.asarray(fn(np.asarray(x, np.float64))[2])
     np.testing.assert_allclose(ll, eager.loglikes, rtol=3e-4, atol=2e-3)
+    # requirement-derived products (BAO's rdrag) must flow even when the
+    # caller skips derived output (regression: -inf under return_derived=0)
+    lp = model.logposterior(x, return_derived=False)
+    assert np.all(np.isfinite(lp.loglikes))
 
 
 def test_e2e_cosmo_mcmc_short(tmp_path):

@@ -69,3 +69,57 @@ def test_nested_external_prior_chain_columns(tmp_path):
 
     re = load_samples(str(tmp_path / "np"))[0]
     np.testing.assert_allclose(re.mean(), s.mean(), rtol=1e-5, atol=1e-6)
+
+
+def test_nested_checkpoint_resume(tmp_path):
+    """A nested run killed mid-flight resumes from its checkpoint and
+    matches the uninterrupted run's evidence (reference capability:
+    PolyChord read_resume, polychord.py:146-153)."""
+    dim = 2
+    base = {"seed": 23, "nlive": 100, "precision_criterion": 1e-3,
+            "checkpoint_every": 2, "batch_size": 12}
+    # uninterrupted run (no output)
+    info = random_gaussian_info(dim=dim, random_state=51)
+    info["sampler"] = {"nested": dict(base)}
+    _, full = run(info)
+    # interrupted run: stop after a few generations via max_ndead
+    info_a = random_gaussian_info(dim=dim, random_state=51)
+    info_a["sampler"] = {"nested": dict(base, max_ndead=97)}
+    info_a["output"] = str(tmp_path / "ck")
+    _, part = run(info_a)
+    assert part.logZstd == np.inf or part.logZ != full.logZ  # stopped early
+    import os
+    assert os.path.exists(str(tmp_path / "ck.nested.state.npz"))
+    # resume to completion
+    info_b = random_gaussian_info(dim=dim, random_state=51)
+    info_b["sampler"] = {"nested": dict(base)}
+    info_b["output"] = str(tmp_path / "ck")
+    _, resumed = run(info_b, resume=True)
+    assert resumed._resume_state is None  # state was consumed
+    logZ_true = -np.log(4.0)
+    assert abs(resumed.logZ - logZ_true) < 3 * resumed.logZstd + 0.1, (
+        resumed.logZ, logZ_true, resumed.logZstd)
+    # agreement with the uninterrupted run within the combined error
+    tol = 3 * np.hypot(full.logZstd, resumed.logZstd) + 0.05
+    assert abs(resumed.logZ - full.logZ) < tol, (
+        resumed.logZ, full.logZ, tol)
+
+
+def test_nested_resume_process_count_guard(tmp_path):
+    """Changing nlive between checkpoint and resume must error clearly."""
+    from cobaya_tpu.utils.log import LoggedError
+
+    info = random_gaussian_info(dim=2, random_state=53)
+    info["sampler"] = {"nested": {"seed": 29, "nlive": 64,
+                                  "checkpoint_every": 1, "batch_size": 8,
+                                  "max_ndead": 33,
+                                  "precision_criterion": 1e-3}}
+    info["output"] = str(tmp_path / "g")
+    run(info)
+    info2 = random_gaussian_info(dim=2, random_state=53)
+    info2["sampler"] = {"nested": {"seed": 29, "nlive": 128,
+                                   "checkpoint_every": 1, "batch_size": 8,
+                                   "precision_criterion": 1e-3}}
+    info2["output"] = str(tmp_path / "g")
+    with pytest.raises(LoggedError, match="stored live points"):
+        run(info2, resume=True)
