@@ -5,6 +5,7 @@ from ..base_classes.mb import Mb
 
 
 class riess2020Mb(Mb):
+    bibtex_file = "riess2020.bibtex"
     """Mb = -19.263 +/- 0.049 (arXiv:2012.08534)."""
 
     Mb_mean = -19.263

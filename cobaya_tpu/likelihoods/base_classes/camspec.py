@@ -47,6 +47,7 @@ def range_to_ells(spec) -> np.ndarray:
 
 class CamSpec(DataSetLikelihood):
     type = "CMB"
+    bibtex_file = "planck2018.bibtex"
     # foreground model + covariance form are traced (logp_jax): nuisance
     # moves run entirely on device against cached theory Cls
     jittable = True

@@ -17,6 +17,7 @@ _POWERLAW_PIVOT = 1500
 
 
 class CamSpec2021(CamSpec):
+    bibtex_file = "CamSpec2021.bibtex"
     def get_powerlaw_residuals(self, p: dict) -> np.ndarray:
         amp = np.array([p["amp_100"], p["amp_143"], p["amp_217"],
                         p["amp_143x217"]])

@@ -27,6 +27,7 @@ _CL_ORDER = ["tt", "ee", "bb", "te", "tb", "eb"]
 
 
 class PlanckClik(InstallableLikelihood):
+    bibtex_file = "planck2018.bibtex"
     type = "CMB"
     jittable = False
 

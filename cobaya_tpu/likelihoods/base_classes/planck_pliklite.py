@@ -31,6 +31,7 @@ CL_NAMES = ["tt", "te", "ee"]
 
 class PlanckPlikLite(DataSetLikelihood):
     type = "CMB"
+    bibtex_file = "planck2018.bibtex"
     jittable = True  # bandpower math runs on device (see logp_jax)
 
     install_options = {

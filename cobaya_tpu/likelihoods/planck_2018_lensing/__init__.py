@@ -9,6 +9,7 @@ from ..base_classes.cmblikes import CMBlikes
 
 
 class native(CMBlikes):
+    bibtex_file = "PlanckLensing2018.bibtex"
     """Planck 2018 T+P map-based lensing reconstruction likelihood
     (python-native dataset)."""
 

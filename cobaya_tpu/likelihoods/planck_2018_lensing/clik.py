@@ -6,6 +6,7 @@ from ..planck_2018_highl_plik.nuisance import params_calib
 
 
 class clik(PlanckClik):
+    bibtex_file = "PlanckLensing2018.bibtex"
     clik_file = "baseline/plc_3.0/lensing/smicadx12_Dec5_ftl_mv2_ndclpp_p_teb_consext8.clik_lensing"
     aliases = ["lensing"]
     params = params_calib

@@ -14,6 +14,7 @@ from ..base_classes.installable import InstallableLikelihood
 
 
 class EE(InstallableLikelihood):
+    bibtex_file = "../base_classes/planck2018.bibtex"
     install_options = {
         "github_repository": "CobayaSampler/planck_native_data",
         "github_release": "v1",

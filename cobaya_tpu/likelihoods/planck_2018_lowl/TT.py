@@ -18,6 +18,7 @@ from ..base_classes.installable import InstallableLikelihood
 
 
 class TT(InstallableLikelihood):
+    bibtex_file = "../base_classes/planck2018.bibtex"
     install_options = {
         "github_repository": "CobayaSampler/planck_native_data",
         "github_release": "v1",

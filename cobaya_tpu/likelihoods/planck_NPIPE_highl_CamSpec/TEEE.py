@@ -6,6 +6,7 @@ from ..planck_2018_highl_CamSpec2021 import nuisance as nu
 
 
 class TEEE(Planck2020CamSpecPython):
+    bibtex_file = "CamSpec_NPIPE_2022.bibtex"
     dataset_file = "CamSpec_NPIPE/CamSpec_NPIPE_12_6_cl.dataset"
     use_cl = "TE EE".split()
     aliases = ["CamSpec_NPIPE_TEEE"]

@@ -11,6 +11,7 @@ from ..base_classes.sn import PantheonPlusLike
 
 
 class pantheonplusshoes(PantheonPlusLike):
+    bibtex_file = "pantheonplus.bibtex"
     dataset_file = "PantheonPlus/config.dataset"
     aliases = ["PantheonPlusSHOES"]
     use_abs_mag = False

@@ -106,7 +106,11 @@ class HasDefaults:
         """Base path (no extension) for per-class data files (.yaml/.bibtex)."""
         module = sys.modules.get(cls.__module__)
         folder = cls.get_class_path()
-        name = getattr(cls, "file_base_name", None) or cls.__module__.split(".")[-1]
+        # own-class attribute only (reference component.py:158): inheriting
+        # a base's file_base_name would misroute subclasses' associated
+        # files (e.g. sn/pantheonplus.bibtex)
+        name = cls.__dict__.get("file_base_name") or \
+            cls.__module__.split(".")[-1]
         return os.path.join(folder, name)
 
     @classmethod
@@ -116,7 +120,12 @@ class HasDefaults:
 
     @classmethod
     def get_bibtex(cls) -> Optional[str]:
-        path = cls.get_root_file_name() + ".bibtex"
+        # explicit per-class pointer (reference component.py:188): path
+        # relative to the class's folder, e.g. shared family citations
+        # like base_classes/planck2018.bibtex
+        fname = cls.__dict__.get("bibtex_file")
+        path = (os.path.join(cls.get_class_path(), fname) if fname
+                else cls.get_root_file_name() + ".bibtex")
         if os.path.exists(path):
             with open(path, encoding="utf-8") as f:
                 return f.read()

@@ -322,3 +322,73 @@ def test_pool2d_find_indices():
     with pytest.raises(ValueError):
         pool.find_indices([[5.0, 5.0]])
     assert pool.d == 2
+
+
+def test_autoselect_covmat_ranked_cascade(tmp_path):
+    """Reference-depth selection: the correct pick needs the full cascade
+    (params tie -> likelihood-alias tie -> fewest params -> simplest name),
+    not a filename/param-count match.  Mirrors
+    /root/reference/cobaya/cosmo_input/autoselect_covmat.py:117-250."""
+    import numpy as np
+
+    from cobaya_tpu.cosmo_input.autoselect_covmat import (
+        get_best_covmat, get_covmat_database)
+
+    def write(name, params):
+        with open(tmp_path / name, "w") as f:
+            f.write("# " + " ".join(params) + "\n")
+            np.savetxt(f, np.eye(len(params)) * 0.01)
+
+    # all share the model params {H0, omm}; the winner must be picked by
+    # the likelihood alias, then by having fewer extra params
+    write("base_plikHM_TTTEEE_lowl_lowE.covmat", ["H0", "omm"])
+    write("base_w_plikHM_TTTEEE_lowl_lowE.covmat", ["H0", "omm", "w"])
+    write("base_lensing_only.covmat", ["H0", "omm"])
+    write("base_mnu_BAO.covmat", ["H0", "omm", "mnu"])
+    params = {"H0": {}, "omm": {"renames": ["omegam"]}}
+    likes = {"planck_high": {"aliases": ["plikHM_TTTEEE"]}}
+    best = get_best_covmat(params, likes, str(tmp_path), cached=False)
+    assert best["name"] == "base_plikHM_TTTEEE_lowl_lowE.covmat", best
+    # renames count toward the parameter score
+    write("base_omegam_extra.covmat", ["omegam", "H0", "ns"])
+    best2 = get_best_covmat(params, {}, str(tmp_path), cached=False)
+    # without likelihood info, both 2-param matches tie on params; the
+    # fewest-params rule drops the 3-param files, simplest name wins
+    assert best2["name"] in ("base_plikHM_TTTEEE_lowl_lowE.covmat",
+                             "base_lensing_only.covmat")
+    db = get_covmat_database([str(tmp_path)], cached=False)
+    key = next(k for k, v in db.items()
+               if v["name"] == "base_mnu_BAO.covmat")
+    assert key.base == "base" and "mnu" in key.paramtags
+    assert "BAO" in key.datatags
+
+
+def test_autoselect_covmat_job_item_exact_match(tmp_path):
+    """Grid jobs hit exact tag-key matches, including 'without' drops."""
+    import numpy as np
+
+    from cobaya_tpu.cosmo_input.autoselect_covmat import get_best_covmat_ext
+
+    with open(tmp_path / "base_mnu_plik_BAO.covmat", "w") as f:
+        f.write("# H0 mnu\n")
+        np.savetxt(f, np.eye(2))
+
+    class Job:
+        param_set = {"mnu"}
+        base = "base"
+
+        class data_set:
+            names = {"plik", "BAO"}
+
+    got = get_best_covmat_ext([str(tmp_path)], {"H0": {}}, {},
+                              cached=False, job_item=Job)
+    assert got and got["name"] == "base_mnu_plik_BAO.covmat"
+
+    class Job2(Job):
+        class data_set:
+            names = {"plik", "BAO", "newdata"}
+
+    got2 = get_best_covmat_ext(
+        [str(tmp_path)], {"H0": {}}, {}, cached=False, job_item=Job2,
+        cov_map={"without": ["newdata"]})
+    assert got2 and got2["name"] == "base_mnu_plik_BAO.covmat"

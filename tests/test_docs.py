@@ -136,3 +136,49 @@ def test_docs_post_and_load_samples_run(tmp_path, monkeypatch):
     full = load_samples("chains/run", combined=True, skip=0.3)
     stats = full.get_stats()
     assert "omegam" in stats
+
+
+def test_bibtex_catalog_coverage():
+    """Every experiment likelihood, sampler and theory cites its papers
+    (reference ships 40 .bibtex files; cobaya-tpu-bib must cover the same
+    component set)."""
+    from cobaya_tpu.models.component import get_component_class
+
+    likelihoods = [
+        "H0.riess2018a", "H0.riess2018b", "H0.riess201903", "H0.riess2020",
+        "H0.riess2020Mb", "H0.freedman2020",
+        "bao.sixdf_2011_bao", "bao.sdss_dr7_mgs",
+        "bao.sdss_dr12_consensus_bao", "bao.sdss_dr12_consensus_final",
+        "bao.sdss_dr12_consensus_full_shape", "bao.sdss_dr12_lrg_bao_dmdh",
+        "bao.sdss_dr16_bao_elg", "bao.sdss_dr16_baoplus_elg",
+        "bao.sdss_dr16_baoplus_lrg", "bao.sdss_dr16_baoplus_lyauto",
+        "bao.sdss_dr16_baoplus_lyxqso", "bao.sdss_dr16_baoplus_qso",
+        "bao.sdss_dr16_lrg_bao_dmdh", "bao.sdss_dr16_qso_bao_dmdh",
+        "bao.desi_2024_bao_all", "bao.desi_dr2.desi_bao_all",
+        "sn.jla", "sn.jla_lite", "sn.pantheon", "sn.pantheonplus",
+        "sn.pantheonplusshoes", "sn.union3", "sn.desy5",
+        "planck_2018_highl_plik.TTTEEE",
+        "planck_2018_highl_plik.TTTEEE_lite_native",
+        "planck_2018_lowl.TT", "planck_2018_lowl.EE",
+        "planck_2018_lowl.EE_sroll2",
+        "planck_2018_highl_CamSpec.TTTEEE",
+        "planck_2018_highl_CamSpec2021.TTTEEE",
+        "planck_NPIPE_highl_CamSpec.TTTEEE",
+        "planck_2018_lensing.native", "planck_2018_lensing.clik",
+        "bicep_keck_2018.bicep_keck_2018", "des_y1.joint",
+    ]
+    missing = []
+    for name in likelihoods:
+        cls = get_component_class(name, kind="likelihood")
+        bib = cls.get_bibtex()
+        if not bib or "@" not in bib:
+            missing.append(name)
+    for kind, name in [("sampler", "mcmc"), ("sampler", "minimize"),
+                       ("sampler", "polychord"), ("sampler", "nested"),
+                       ("sampler", "hmc"), ("theory", "camb"),
+                       ("theory", "classy")]:
+        cls = get_component_class(name, kind=kind)
+        bib = cls.get_bibtex()
+        if not bib or "@" not in bib:
+            missing.append(name)
+    assert not missing, missing

@@ -311,3 +311,79 @@ def test_gui_composer_backend():
     info2 = c2.info()
     assert "H0.riess2020" in info2["likelihood"]
     assert "none" in _field_choices("geometry") or _field_choices("geometry")
+
+
+def test_grid_importance_and_minimize_jobs(tmp_path):
+    """Chain -> importance post -> minimize end-to-end on a toy model
+    (reference capability: gridconfig.py:211-351, batchjob.py:92-142)."""
+    grid_dir = str(tmp_path / "grid")
+    settings = {
+        "defaults": {
+            "params": {
+                "a": {"prior": [0, 1], "ref": 0.5, "proposal": 0.05},
+            },
+            "sampler": {"mcmc": {"seed": 1, "n_chains": 8,
+                                 "max_samples": 300,
+                                 "output_chains": 1}},
+        },
+        "models": {
+            "m1": {"likelihood": {"gaussian_mixture": {
+                "means": [[0.5]], "covs": [[[0.01]]],
+                "input_params": ["a"]}}},
+        },
+        "datasets": {"d1": {}},
+        "minimize_defaults": {"seed": 3},
+        "importance_runs": {
+            "tilt": {"add": {"prior": {
+                "tilt": "lambda a: -10 * (a - 0.45) ** 2"}}},
+        },
+    }
+    created = create_grid(grid_dir, settings)
+    names = sorted(os.path.basename(p) for p in created)
+    assert names == ["m1_d1.minimize.yaml", "m1_d1.post.tilt.minimize.yaml",
+                     "m1_d1.post.tilt.yaml", "m1_d1.yaml"]
+    # ordering: chains first, then post over the stored chains, minimize
+    results = run_grid(grid_dir)
+    assert all(not isinstance(r, Exception) for r in results)
+    results = run_grid(grid_dir, kind="importance")
+    assert all(not isinstance(r, Exception) for r in results), results
+    assert os.path.exists(
+        str(tmp_path / "grid" / "m1_d1" / "m1_d1.post.tilt.1.txt"))
+    results = run_grid(grid_dir, kind="minimize")
+    assert all(not isinstance(r, Exception) for r in results), results
+    assert os.path.exists(
+        str(tmp_path / "grid" / "m1_d1" / "m1_d1.minimum.txt"))
+    status = grid_status(grid_dir)
+    assert status["m1_d1"] in ("done", "in progress")
+    assert status["m1_d1.post.tilt"] == "done"
+    assert status["m1_d1.minimize"] == "done"
+
+
+def test_grid_auto_covmat_resolution(tmp_path):
+    """'covmat: auto' resolves against the library at grid-creation time."""
+    import numpy as np
+
+    covdir = tmp_path / "covmats"
+    covdir.mkdir()
+    with open(covdir / "base_toy.covmat", "w") as f:
+        f.write("# a\n")
+        np.savetxt(f, [[0.01]])
+    grid_dir = str(tmp_path / "grid")
+    settings = {
+        "defaults": {
+            "params": {"a": {"prior": [0, 1], "ref": 0.5,
+                             "proposal": 0.05}},
+            "sampler": {"mcmc": {"covmat": "auto", "max_samples": 50}},
+        },
+        "models": {"m": {"likelihood": {"gaussian_mixture": {
+            "means": [[0.5]], "covs": [[[0.01]]],
+            "input_params": ["a"]}}}},
+        "datasets": {"d": {}},
+        "cov_dir": str(covdir),
+    }
+    created = create_grid(grid_dir, settings)
+    from cobaya_tpu.utils.yamlio import yaml_load_file
+
+    info = yaml_load_file([p for p in created
+                           if p.endswith("m_d.yaml")][0])
+    assert info["sampler"]["mcmc"]["covmat"].endswith("base_toy.covmat")
