@@ -2,6 +2,10 @@
 
 Capability parity with /root/reference/cobaya/likelihoods/planck_2018_lowl/EE.py.
 Requires the planck_2018_lowE_native data package.
+
+TPU-native: the per-multipole probability table is a device constant and
+the lookup is a pure gather (``logp_jax``), so low-EE runs inside the
+jitted sampler epoch, batched over walkers.
 """
 
 from __future__ import annotations
@@ -22,7 +26,7 @@ class EE(InstallableLikelihood):
         "directory": "planck_2018_lowE_native",
     }
     type = "CMB"
-    jittable = False
+    jittable = True  # pure table gather on device (logp_jax)
     aliases = ["lowE"]
 
     _lmin = 2
@@ -66,3 +70,23 @@ class EE(InstallableLikelihood):
     def logp(self, _derived=None, **params_values):
         cls = self.provider.get_Cl(ell_factor=True)["ee"]
         return self.log_likelihood(cls, params_values.get("A_planck", 1))
+
+    def logp_jax(self, params, provider_products=None):
+        """Traced table lookup (device path); mirrors :meth:`logp`."""
+        import jax.numpy as jnp
+
+        from ...theories.cosmo.traced import TracedCosmoProducts
+
+        cls = TracedCosmoProducts(self, provider_products).get_Cl(
+            ell_factor=True
+        )["ee"]
+        calib = jnp.asarray(params.get("A_planck", 1.0))
+        theory = cls[self._lmin:self._lmax + 1] / (
+            calib ** 2 * self._stepEE)
+        idx = theory.astype(jnp.int32)  # truncation, as the eager path
+        table = jnp.asarray(self.prob_table)
+        inside = (idx >= 0) & (idx < table.shape[0])
+        cols = np.arange(table.shape[1])
+        vals = table[jnp.clip(idx, 0, table.shape[0] - 1), cols]
+        logl = jnp.where(jnp.all(inside), jnp.sum(vals), -jnp.inf)
+        return logl, {}

@@ -26,7 +26,9 @@ class TT(InstallableLikelihood):
         "directory": "planck_2018_lowT_native",
     }
     type = "CMB"
-    jittable = False
+    # the Gibbs cl->x splines become stacked per-ell cubic coefficient
+    # tables evaluated by gathers (logp_jax), so low-TT runs on device
+    jittable = True
     aliases = ["lowT"]
 
     lmin: int = 2
@@ -75,6 +77,17 @@ class TT(InstallableLikelihood):
                                              spline_val[:, i])
             self._splines.append(s)
             self._dsplines.append(s.derivative())
+        # stacked per-ell cubic coefficients for the traced path: the same
+        # interpolating cubic (CubicSpline not-a-knot == k=3 interpolating
+        # UnivariateSpline on the shared knot layout)
+        from scipy.interpolate import CubicSpline
+
+        self._knots = spline_cl.T.copy()  # (n_ell, K)
+        coeffs = []
+        for i in range(n):
+            cs = CubicSpline(spline_cl[:, i], spline_val[:, i])
+            coeffs.append(cs.c)  # (4, K-1)
+        self._coeffs = np.stack(coeffs)  # (n_ell, 4, K-1)
         self._offset = 0.0
         self._offset = self.log_likelihood(mu_sigma_full)
 
@@ -105,3 +118,46 @@ class TT(InstallableLikelihood):
     def logp(self, _derived=None, **params_values):
         cls = self.provider.get_Cl(ell_factor=True)["tt"]
         return self.log_likelihood(cls, params_values.get("A_planck", 1))
+
+    def logp_jax(self, params, provider_products=None):
+        """Traced Gaussianized-Gibbs likelihood; mirrors
+        :meth:`log_likelihood` via stacked per-ell cubic gathers."""
+        import jax.numpy as jnp
+
+        from ...theories.cosmo.traced import TracedCosmoProducts
+
+        cls = TracedCosmoProducts(self, provider_products).get_Cl(
+            ell_factor=True
+        )["tt"]
+        calib = jnp.asarray(params.get("A_planck", 1.0))
+        theory = cls[self.lmin:self.lmax + 1] / calib ** 2  # (n_ell,)
+        knots = jnp.asarray(self._knots)      # (n_ell, K)
+        coeffs = jnp.asarray(self._coeffs)    # (n_ell, 4, K-1)
+        K = knots.shape[1]
+        # per-row segment search (vectorized over ells)
+        idx = jnp.clip(
+            jax_vmap_searchsorted(knots, theory) - 1, 0, K - 2)
+        t = theory - jnp.take_along_axis(knots, idx[:, None],
+                                         axis=1)[:, 0]
+        c = jnp.take_along_axis(coeffs, idx[:, None, None],
+                                axis=2)[:, :, 0]  # (n_ell, 4)
+        x = ((c[:, 0] * t + c[:, 1]) * t + c[:, 2]) * t + c[:, 3]
+        dxdCl = (3 * c[:, 0] * t + 2 * c[:, 1]) * t + c[:, 2]
+        bounds = jnp.asarray(self._prior_bounds)
+        inside = jnp.all((theory >= bounds[:, 0])
+                         & (theory <= bounds[:, 1])) & jnp.all(dxdCl > 0)
+        delta = x - jnp.asarray(self._mu)
+        logl = (jnp.sum(jnp.log(jnp.maximum(dxdCl, 1e-300)))
+                - 0.5 * delta @ jnp.asarray(self._covinv) @ delta
+                - self._offset)
+        return jnp.where(inside, logl, -jnp.inf), {}
+
+
+def jax_vmap_searchsorted(rows, queries):
+    """Per-row searchsorted(side='right'): rows (n, K), queries (n,)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.vmap(
+        lambda r, q: jnp.searchsorted(r, q, side="right")
+    )(rows, queries)

@@ -66,7 +66,10 @@ def rminus1_of_moments(counts, means, covs, weighted: bool = True) -> float:
     mean_of_covs = np.einsum("c,cij->ij", w, covs)
     mean_of_means = np.einsum("c,ci->i", w, means)
     dm = means - mean_of_means
-    cov_of_means = np.einsum("c,ci,cj->ij", w, dm, dm)
+    # unbiased weighted between-chain covariance (= np.cov's C/(C-1) for
+    # equal counts, the reference's convention, mcmc.py:864)
+    bessel = 1.0 / max(1.0 - float(np.sum(w ** 2)), 1e-12)
+    cov_of_means = np.einsum("c,ci,cj->ij", w, dm, dm) * bessel
     std = np.sqrt(np.diag(mean_of_covs))
     if np.any(~np.isfinite(std)) or np.any(std == 0):
         return np.inf

@@ -91,7 +91,13 @@ def mean_of_covs(m: Moments, ddof: int = 1) -> jnp.ndarray:
 
 
 def cov_of_means(m: Moments, weighted: bool = True) -> jnp.ndarray:
-    """Covariance over walkers of the per-walker means."""
+    """Covariance over walkers of the per-walker means.
+
+    Bessel-corrected with the unbiased weighted factor 1/(1 - sum w^2)
+    (= C/(C-1) for equal counts), matching the reference's unweighted
+    ``np.cov(means.T)`` between-chain term (mcmc.py:864) at few chains;
+    the correction is negligible for the many-walker device populations.
+    """
     counts = m.count
     w = counts / jnp.maximum(jnp.sum(counts), 1.0) if weighted else (
         jnp.ones_like(counts) / counts.shape[0]
@@ -99,7 +105,8 @@ def cov_of_means(m: Moments, weighted: bool = True) -> jnp.ndarray:
     means = mean(m)
     mu = jnp.einsum("c,ci->i", w, means)
     dm = means - mu
-    return jnp.einsum("c,ci,cj->ij", w, dm, dm)
+    bessel = 1.0 / jnp.maximum(1.0 - jnp.sum(w ** 2), 1e-12)
+    return jnp.einsum("c,ci,cj->ij", w, dm, dm) * bessel
 
 
 def cov(m: Moments, ddof: int = 1) -> jnp.ndarray:

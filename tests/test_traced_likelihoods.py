@@ -456,3 +456,86 @@ def test_e2e_sampling_with_device_likelihoods(pliklite_dataset):
     assert all(like.jittable for like in likes)
     products = sampler.products()
     assert "sample" in products
+
+
+# ---------------------------------------------------------------------------
+# Planck low-l TT (Gibbs splines) and EE (SimAll table) on device
+# ---------------------------------------------------------------------------
+def _lowT_package(tmp_path, n_ell=28, nbins=400, rng=None):
+    """Synthetic planck_2018_lowT_native-format data: monotone cl->x maps
+    saturating at +-5 like the released Gibbs splines."""
+    rng = rng or np.random.default_rng(8)
+    ells = np.arange(2, 2 + n_ell)
+    d_fid = 1000.0 * (ells / 200.0) ** -0.6  # HostBoltz fiducial D_l
+    cl_knots = np.empty((nbins, n_ell))
+    x_vals = np.empty((nbins, n_ell))
+    for i in range(n_ell):
+        lo, hi = 0.45 * d_fid[i], 1.8 * d_fid[i]
+        knots = np.linspace(lo, hi, nbins)
+        x = 5.0 * np.tanh((knots - d_fid[i]) / (0.8 * d_fid[i]))
+        # saturate hard at the edges (the released tables clip at +-5)
+        x[:4] = -5.0
+        x[-4:] = 5.0
+        cl_knots[:, i] = knots
+        x_vals[:, i] = x
+    a = rng.normal(size=(n_ell, n_ell)) * 0.05
+    cov = a @ a.T + np.eye(n_ell)
+    mu = rng.normal(0, 0.3, n_ell)
+    np.savetxt(tmp_path / "cov.txt", cov)
+    np.savetxt(tmp_path / "mu.txt", mu)
+    np.savetxt(tmp_path / "mu_sigma.txt", d_fid)
+    np.savetxt(tmp_path / "cl2x_1.txt", cl_knots)
+    np.savetxt(tmp_path / "cl2x_2.txt", x_vals)
+    return str(tmp_path)
+
+
+def test_lowT_traced_matches_eager(tmp_path):
+    path = _lowT_package(tmp_path)
+    info = {
+        "theory": {"mock": {"external": HostBoltz}},
+        "likelihood": {"planck_2018_lowl.TT": {"path": path}},
+        "params": {**CMB_PARAMS,
+                   "A_planck": {"prior": [0.9, 1.1], "ref": 1.0,
+                                "proposal": 0.002}},
+    }
+    model, traced, eager = assert_traced_matches_eager(info, [1.05, 1.01])
+    assert list(model.likelihood.values())[0].jittable is True
+    # out-of-bounds theory (huge calibration) rejects on both paths
+    lp = model.logposterior(np.array([1.95, 0.95]))
+    import jax
+
+    with jax.enable_x64(True):
+        fn = jax.jit(model.make_logposterior_fn())
+        ll = np.asarray(fn(np.asarray([1.95, 0.95], np.float64))[2])
+    assert not np.isfinite(lp.loglikes[0]) and not np.isfinite(ll[0])
+
+
+def test_lowE_traced_matches_eager(tmp_path):
+    from cobaya_tpu.likelihoods.planck_2018_lowl.EE import EE
+
+    n_ell, nbins = 28, 3000
+    ells = np.arange(2, 2 + n_ell)
+    d_fid = 0.1 * 1000.0 * (ells / 200.0) ** -0.6
+    step = float(d_fid.max() * 3 / nbins)
+
+    class SmallStepEE(EE):
+        _stepEE = step
+        _table_file_name = "prob_table.txt"
+
+    rng = np.random.default_rng(9)
+    grid = np.arange(nbins) * step
+    table = -0.5 * ((grid[:, None] - d_fid[None, :])
+                    / (0.5 * d_fid[None, :])) ** 2 + rng.normal(
+        0, 0.01, (nbins, n_ell))
+    np.savetxt(tmp_path / "prob_table.txt", table)
+    info = {
+        "theory": {"mock": {"external": HostBoltz}},
+        "likelihood": {"lowE": {
+            "external": SmallStepEE, "path": str(tmp_path),
+        }},
+        "params": {**CMB_PARAMS,
+                   "A_planck": {"prior": [0.9, 1.1], "ref": 1.0,
+                                "proposal": 0.002}},
+    }
+    model, traced, eager = assert_traced_matches_eager(info, [1.02, 0.99])
+    assert list(model.likelihood.values())[0].jittable is True
