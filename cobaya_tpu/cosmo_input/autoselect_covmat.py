@@ -239,10 +239,18 @@ def get_best_covmat(params_info, likelihoods_info=None, covmats_folder=None,
         folders += get_covmat_package_folders(packages_path)
     if not folders:
         return None
+    def _norm(info):
+        # full params dicts mix sampled-param dicts with fixed values
+        # (floats/strings/lambdas) and rename lists; only dicts carry
+        # renames worth matching
+        if isinstance(info, dict):
+            return dict(info)
+        if isinstance(info, (list, tuple, set)):
+            return {"renames": list(info)}
+        return {}
+
     norm_params = {
-        p: (dict(info) if isinstance(info, dict)
-            else {"renames": list(info or [])})
-        for p, info in (params_info or {}).items()
+        p: _norm(info) for p, info in (params_info or {}).items()
     }
     if isinstance(likelihoods_info, (list, tuple, set)):
         likelihoods_info = {like: {} for like in likelihoods_info}

@@ -100,7 +100,8 @@ class PlanckClik(InstallableLikelihood):
         self.vector[offset:] = [
             params_values[p] for p in self.expected_params
         ]
-        loglike = float(self.clik(self.vector))
+        # clik returns a length-1 array
+        loglike = float(np.asarray(self.clik(self.vector)).reshape(-1)[0])
         if loglike <= -1e30 or np.isnan(loglike):
             return -np.inf
         return loglike

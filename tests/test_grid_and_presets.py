@@ -313,6 +313,67 @@ def test_gui_composer_backend():
     assert "none" in _field_choices("geometry") or _field_choices("geometry")
 
 
+def test_gui_display_tabs(tmp_path):
+    """All four display tabs render headlessly (reference gui.py:137-153):
+    yaml with preset comments, python dict, bibliography blocks, and the
+    auto-selected covmat (text + .covmat serialization)."""
+    import numpy as np
+
+    from cobaya_tpu.cosmo_input.gui import (
+        Composer,
+        component_defaults_texts,
+    )
+
+    c = Composer()
+    c.set_preset("planck_2018_camb")
+    # yaml/python tabs carry the preset field comments
+    assert "theory" in c.yaml_text()
+    assert c.python_text().startswith("info = {")
+    # bibliography collects per-component blocks incl. the framework's
+    bib = c.bib_text()
+    assert "% ===== framework =====" in bib
+    assert "planck" in bib.lower()
+    # covmat tab: no packages path -> explanatory text, empty export
+    assert "packages" in c.covmat_text()
+    assert c.covmat_txt() == ""
+    # with a covmat database: selection + export round-trips
+    covdir = tmp_path / "data" / "planck_supp_data_and_covmats" / "covmats"
+    covdir.mkdir(parents=True)
+    cov = np.array([[0.04, 0.001], [0.001, 0.09]])
+    np.savetxt(covdir / "base_plikHM_TTTEEE_lowl_lowE.covmat", cov,
+               header="logA ns")
+    c2 = Composer(packages_path=str(tmp_path))
+    c2.set_preset("planck_2018_camb")
+    data = c2.covmat_data()
+    if data is not None:  # preset params matched the tiny database
+        assert data["covmat"].shape[0] == len(data["params"])
+        exported = c2.covmat_txt()
+        assert exported.startswith("# ")
+        parsed = np.loadtxt(exported.splitlines(), ndmin=2)
+        assert parsed.shape == data["covmat"].shape
+        assert "'%s'" % data["name"] in c2.covmat_text()
+    # defaults dialog backend: yaml/python/bibliography for any component
+    texts = component_defaults_texts("mcmc", "sampler")
+    assert set(texts) == {"yaml", "python", "bibliography"}
+    assert "mcmc" in texts["yaml"]
+    assert "Lewis" in texts["bibliography"] or "@" in texts["bibliography"]
+
+
+def test_gui_corr_colors():
+    """Correlation coloring backend: diagonal white, off-diagonal mapped."""
+    import numpy as np
+
+    from cobaya_tpu.cosmo_input.gui import _corr_colors
+
+    cov = np.array([[4.0, -1.2], [-1.2, 1.0]])
+    corr, colors = _corr_colors(cov)
+    assert corr[0, 0] == 1.0
+    assert abs(corr[0, 1] - (-0.6)) < 1e-12
+    if colors is not None:  # matplotlib present
+        assert colors[0][0] == [255.99] * 3
+        assert len(colors[0][1]) == 3
+
+
 def test_grid_importance_and_minimize_jobs(tmp_path):
     """Chain -> importance post -> minimize end-to-end on a toy model
     (reference capability: gridconfig.py:211-351, batchjob.py:92-142)."""
