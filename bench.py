@@ -155,13 +155,22 @@ def run_one(kind: str, dim: int, n_chains: int,
         opts.update({"leapfrog_steps": 12, "records_per_epoch": 512})
         info["sampler"] = {"hmc": opts}
     n_dev = len(jax.devices())
+    t0 = time.time()
     model = get_model({k: v for k, v in info.items() if k != "sampler"})
+    t_model = time.time() - t0
+    t0 = time.time()
     sampler = get_sampler(info["sampler"], model)
+    t_sampler = time.time() - t0
     # compile the sampling programs up front (one-time, cacheable) so the
     # timed region measures sampling, as the reference baseline measurement
     # times only its step loop
+    t0 = time.time()
     sampler.warmup()
+    t_warm = time.time() - t0
     t_compile = time.time() - t_setup
+    print(f"[bench] {kind} setup breakdown: model={t_model:.1f}s "
+          f"sampler_init={t_sampler:.1f}s warmup={t_warm:.1f}s",
+          file=sys.stderr)
     t0 = time.time()
     sampler.run()
     t_run = time.time() - t0

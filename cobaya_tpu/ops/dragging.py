@@ -20,7 +20,7 @@ from __future__ import annotations
 from typing import Callable
 
 from . import moments as mom_ops
-from .metropolis import EpochRecord, MCMCCarry
+from .metropolis import MCMCCarry, make_epoch_record
 
 SLOW, FAST = 0, 1  # block indices under a fast/slow split
 
@@ -31,6 +31,8 @@ def make_drag_epoch_fn(
     temperature: float = 1.0,
     block_eval: Callable | None = None,
     drag_interp_steps: int = 1,
+    record_keep: int | None = None,
+    full_x_records: bool = False,
 ) -> Callable:
     """Epoch function where every step is one dragging cycle.
 
@@ -165,16 +167,23 @@ def make_drag_epoch_fn(
         n_rec, thin = schedule.shape
 
         def one_cycle(carry: MCMCCarry, _):
-            (key, accept, slow_ok, x, tlp, lpri, llik, der, cache) = jax.vmap(
+            # ONE carried key: per-walker keys for this cycle are derived
+            # with a single batched split (the dragging inner loop draws
+            # per-walker sequences of data-dependent length-n_drag, so the
+            # vmapped per-walker key style stays inside the cycle)
+            key_next, k_cycle = jax.random.split(carry.key)
+            walker_keys = jax.random.split(k_cycle, carry.x.shape[0])
+            (_, accept, slow_ok, x, tlp, lpri, llik, der, cache) = jax.vmap(
                 drag_step_single,
                 in_axes=((0, 0, 0, 0, 0, 0, 0), None, None, None, None),
-            )((carry.key, carry.x, carry.logpost, carry.logpriors,
+            )((walker_keys, carry.x, carry.logpost, carry.logpriors,
                carry.loglikes, carry.derived, carry.cache),
               transforms, dir_mask, block_sizes, scale)
             import jax.numpy as jnp
 
             return MCMCCarry(
-                key=key, x=x, logpost=tlp, logpriors=lpri, loglikes=llik,
+                key=key_next, x=x, logpost=tlp, logpriors=lpri,
+                loglikes=llik,
                 derived=der,
                 weight=jnp.where(accept, 1.0, carry.weight + 1.0),
                 n_accepted=carry.n_accepted + accept,
@@ -192,11 +201,8 @@ def make_drag_epoch_fn(
                 mom=mom_ops.update(carry.mom, carry.x),
                 mom2=mom_ops.update(carry.mom2, carry.x),
             )
-            rec = EpochRecord(
-                x=carry.x, logpost=carry.logpost, logpriors=carry.logpriors,
-                loglikes=carry.loglikes, derived=carry.derived,
-                weight=carry.weight,
-            )
+            rec = make_epoch_record(carry, keep=record_keep,
+                                    full_x=full_x_records)
             return carry, rec
 
         return jax.lax.scan(outer_step, carry, None, length=n_rec)

@@ -17,7 +17,7 @@ from __future__ import annotations
 from typing import Callable
 
 from . import moments as mom_ops
-from .metropolis import EpochRecord, MCMCCarry
+from .metropolis import MCMCCarry, make_epoch_record
 
 
 def make_hmc_epoch_fn(
@@ -25,6 +25,8 @@ def make_hmc_epoch_fn(
     periodic_wrap: Callable | None,
     temperature: float = 1.0,
     n_leapfrog: int = 16,
+    record_keep: int | None = None,
+    full_x_records: bool = False,
 ) -> Callable:
     """Build the jittable HMC epoch function.
 
@@ -54,13 +56,14 @@ def make_hmc_epoch_fn(
     # cov_chol = chol(Sigma)): momenta p ~ N(0, Sigma^{-1}) are drawn as
     # p = cov_chol^{-T} z; position updates dx = M^{-1} p = Sigma p scale
     # with the posterior widths; kinetic = p^T Sigma p / 2 = |cov_chol^T p|^2/2.
-    def one_step(carry_w, cov_chol, eps):
-        key, x, tlp, lpri, llik, der = carry_w
-        key, k_mom, k_acc, k_eps = jax.random.split(key, 4)
+    def one_step(carry_w, draws, cov_chol, eps):
+        x, tlp, lpri, llik, der = carry_w
+        # all randomness is drawn batched by the caller (one key per batch,
+        # not per walker): z momenta, step-size jitter, accept exponential
+        z, eps_jitter, expdraw = draws
         # per-trajectory step-size jitter (standard: breaks resonances and
         # lets mis-scaled walkers find acceptable trajectories)
-        eps = eps * jax.random.uniform(k_eps, minval=0.5, maxval=1.5)
-        z = jax.random.normal(k_mom, x.shape, dtype=x.dtype)
+        eps = eps * eps_jitter
         p = jsl.solve_triangular(cov_chol.T, z, lower=False)
         kinetic0 = 0.5 * jnp.sum(z * z)
         # leapfrog
@@ -86,30 +89,41 @@ def make_hmc_epoch_fn(
         u_new = cov_chol.T @ p_new
         kinetic_new = 0.5 * jnp.sum(u_new * u_new)
         dH = (tlp_new - kinetic_new) - (tlp - kinetic0)
-        expdraw = jax.random.exponential(k_acc)
         ok = jnp.isfinite(tlp_new) & jnp.isfinite(kinetic_new)
         accept = ok & ((dH > 0) | (expdraw > -dH))
         sel = lambda new, old: jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), new, old
         )
-        return (key, accept,
+        return (accept,
                 jnp.where(accept, 0.0, 1.0),  # weight increment marker
                 sel(x_new, x), jnp.where(accept, tlp_new, tlp),
                 sel(lpri_new, lpri), sel(llik_new, llik),
                 sel(der_new, der))
 
-    step_batch = jax.vmap(one_step, in_axes=((0, 0, 0, 0, 0, 0), None, None))
+    step_batch = jax.vmap(
+        one_step, in_axes=((0, 0, 0, 0, 0), (0, 0, 0), None, None))
 
     def epoch(carry: MCMCCarry, schedule, mass_chol, eps):
         n_rec, thin = schedule.shape
 
         def inner(carry: MCMCCarry, _):
-            (key, accept, rej, x, tlp, lpri, llik, der) = step_batch(
-                (carry.key, carry.x, carry.logpost, carry.logpriors,
-                 carry.loglikes, carry.derived), mass_chol, eps,
+            key_next, k_mom, k_eps, k_acc = jax.random.split(carry.key, 4)
+            draws = (
+                jax.random.normal(k_mom, carry.x.shape,
+                                  dtype=carry.x.dtype),
+                jax.random.uniform(k_eps, carry.logpost.shape,
+                                   dtype=carry.x.dtype,
+                                   minval=0.5, maxval=1.5),
+                jax.random.exponential(k_acc, carry.logpost.shape,
+                                       dtype=carry.x.dtype),
+            )
+            (accept, rej, x, tlp, lpri, llik, der) = step_batch(
+                (carry.x, carry.logpost, carry.logpriors,
+                 carry.loglikes, carry.derived), draws, mass_chol, eps,
             )
             return MCMCCarry(
-                key=key, x=x, logpost=tlp, logpriors=lpri, loglikes=llik,
+                key=key_next, x=x, logpost=tlp, logpriors=lpri,
+                loglikes=llik,
                 derived=der,
                 weight=jnp.where(accept, 1.0, carry.weight + 1.0),
                 n_accepted=carry.n_accepted + accept,
@@ -125,11 +139,8 @@ def make_hmc_epoch_fn(
                 mom=mom_ops.update(carry.mom, carry.x),
                 mom2=mom_ops.update(carry.mom2, carry.x),
             )
-            rec = EpochRecord(
-                x=carry.x, logpost=carry.logpost, logpriors=carry.logpriors,
-                loglikes=carry.loglikes, derived=carry.derived,
-                weight=carry.weight,
-            )
+            rec = make_epoch_record(carry, keep=record_keep,
+                                    full_x=full_x_records)
             return carry, rec
 
         return jax.lax.scan(outer, carry, None, length=n_rec)

@@ -35,9 +35,15 @@ def tempered_logpost(logpriors, loglikes, temperature: float):
 
 
 class MCMCCarry(NamedTuple):
-    """Per-walker scan state; every leaf has leading dim = n_chains."""
+    """Per-walker scan state; every leaf has leading dim = n_chains.
 
-    key: Any  # (C,) PRNG keys
+    Exception: ``key`` is ONE chain-batch PRNG key (threefry is
+    counter-based and partitionable, so batched (C, ...) draws from a
+    single key shard correctly over the device mesh; per-walker key
+    vectors would cost C extra splits per step on the VPU).
+    """
+
+    key: Any  # scalar typed PRNG key for the whole batch
     x: Any  # (C, d)
     logpost: Any  # (C,) tempered log-posterior
     logpriors: Any  # (C, n_priors)
@@ -52,7 +58,7 @@ class MCMCCarry(NamedTuple):
 
 
 class EpochRecord(NamedTuple):
-    """Thinned per-record outputs, shapes (n_records, C, ...)."""
+    """Thinned per-record outputs, shapes (n_records, C_kept, ...)."""
 
     x: Any
     logpost: Any
@@ -62,12 +68,37 @@ class EpochRecord(NamedTuple):
     weight: Any
 
 
+def make_epoch_record(carry: "MCMCCarry", keep: int | None = None,
+                      full_x: bool = False) -> EpochRecord:
+    """Record-boundary epoch output, sliced to the fetched walker subset.
+
+    The host only ever consumes ``fetch_chains`` walkers of each record
+    (plus the full ``x`` when the CL-bounds ring is active), so slicing
+    inside the scan keeps the stacked (n_rec, C, ...) record buffers off
+    the device — the working-set spill behind the 65k-walker throughput
+    regression (docs/performance.md).
+    """
+    def cut(a):
+        return a if keep is None else a[:keep]
+
+    return EpochRecord(
+        x=carry.x if full_x else cut(carry.x),
+        logpost=cut(carry.logpost),
+        logpriors=cut(carry.logpriors),
+        loglikes=cut(carry.loglikes),
+        derived=cut(carry.derived),
+        weight=cut(carry.weight),
+    )
+
+
 def make_epoch_fn(
     logpost_fn: Callable,
     periodic_wrap: Callable | None,
     temperature: float = 1.0,
     block_eval: Callable | None = None,
     cycled_directions: bool = False,
+    record_keep: int | None = None,
+    full_x_records: bool = False,
 ) -> Callable:
     """Build the jittable epoch function.
 
@@ -88,7 +119,7 @@ def make_epoch_fn(
     import jax
     import jax.numpy as jnp
 
-    from .proposal import propose_jax
+    from .proposal import propose_batch
 
     logpost_batch = jax.vmap(logpost_fn) if block_eval is None else None
     def tempered(logpriors, loglikes):
@@ -96,12 +127,13 @@ def make_epoch_fn(
 
     def one_step(carry: MCMCCarry, block_index, direction, transforms,
                  dir_mask, block_sizes, scale):
-        keys = jax.vmap(jax.random.split, in_axes=(0, None))(carry.key, 3)
-        key_next, k_prop, k_acc = keys[:, 0], keys[:, 1], keys[:, 2]
-        trial = jax.vmap(
-            propose_jax, in_axes=(0, 0, None, None, None, None, None, None)
-        )(k_prop, carry.x, block_index, transforms, dir_mask, block_sizes,
-          scale, direction)
+        # ONE split per step; all per-walker randomness is drawn as batched
+        # (C, ...) arrays (counter-based bits: i.i.d. across walkers), and
+        # the proposal transform applies to the whole batch as a
+        # (C, d) @ (d, d) MXU matmul (see propose_batch)
+        key_next, k_prop, k_acc = jax.random.split(carry.key, 3)
+        trial = propose_batch(k_prop, carry.x, block_index, transforms,
+                              dir_mask, block_sizes, scale, direction)
         if periodic_wrap is not None:
             trial = periodic_wrap(trial)
         if block_eval is None:
@@ -115,7 +147,8 @@ def make_epoch_fn(
         tlp_c = carry.logpost
         # prior rejection: trial outside prior support
         prior_ok = jnp.isfinite(jnp.sum(lpri_t, -1))
-        expdraw = jax.vmap(jax.random.exponential)(k_acc)
+        expdraw = jax.random.exponential(
+            k_acc, carry.logpost.shape, dtype=carry.x.dtype)
         accept = prior_ok & jnp.isfinite(tlp_t) & (
             (tlp_t > tlp_c) | (expdraw > (tlp_c - tlp_t))
         )
@@ -167,14 +200,8 @@ def make_epoch_fn(
                 mom=mom_ops.update(carry.mom, carry.x),
                 mom2=mom_ops.update(carry.mom2, carry.x),
             )
-            rec = EpochRecord(
-                x=carry.x,
-                logpost=carry.logpost,
-                logpriors=carry.logpriors,
-                loglikes=carry.loglikes,
-                derived=carry.derived,
-                weight=carry.weight,
-            )
+            rec = make_epoch_record(carry, keep=record_keep,
+                                    full_x=full_x_records)
             return carry, rec
 
         return jax.lax.scan(outer_step, carry, (schedule, directions))
@@ -201,14 +228,13 @@ def init_carry(key, x0, logpost_fn, dtype=None,
 
     x0 = jnp.asarray(x0, dtype=dtype)
     C = x0.shape[0]
-    keys = jax.random.split(key, C)
     if full_eval is not None:
         lp, lpri, llik, der, cache = jax.vmap(full_eval)(x0)
     else:
         lp, lpri, llik, der = jax.vmap(logpost_fn)(x0)
         cache = ()
     return MCMCCarry(
-        key=keys,
+        key=key,
         x=x0,
         logpost=tempered_logpost(lpri, llik, temperature),
         logpriors=lpri,

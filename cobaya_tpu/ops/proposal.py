@@ -253,3 +253,45 @@ def propose_jax(key, x, block_index, transforms, dir_mask, block_sizes, scale,
     r = jnp.where(u < 0.33, r_exp, jnp.sqrt(chi2))
     dx = transforms[block_index] @ (scale * r * e)
     return x + dx
+
+
+def propose_batch(key, X, block_index, transforms, dir_mask, block_sizes,
+                  scale, direction=None):
+    """Proposals for the whole walker batch in one shot (jittable).
+
+    Batched counterpart of :func:`propose_jax` for the epoch hot loop:
+    ONE key feeds batched (C, ...) draws (counter-based bits are i.i.d.
+    across walkers), and the per-block triangular transform applies to all
+    walkers as a single (C, d) @ (d, d) matmul on the MXU instead of C
+    vmapped matvecs.  Same proposal distribution as the reference's
+    BlockedProposer (proposal.py:58-82): random block-subspace direction,
+    fat-tailed radial kick (1/3 Exp(1), 2/3 2D-Gaussian radius).
+
+    X: (C, d) current points; ``direction``: optional shared (d,) j-space
+    unit direction (cycled mode) — each walker applies a random sign.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    C, d = X.shape
+    k_dir, k_u, k_exp, k_gauss = jax.random.split(key, 4)
+    mask = dir_mask[block_index]  # (d,)
+    nb = block_sizes[block_index]
+    if direction is None:
+        # fresh unit direction in the block's j-subspace, per walker
+        g = jax.random.normal(k_dir, (C, d), dtype=X.dtype) * mask
+        e = g / jnp.maximum(
+            jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-30)
+    else:
+        sign = jnp.where(jax.random.bernoulli(k_dir, shape=(C,)),
+                         jnp.asarray(1.0, X.dtype),
+                         jnp.asarray(-1.0, X.dtype))
+        e = sign[:, None] * direction.astype(X.dtype)[None, :]
+    # fat-tailed radial kick: 1/3 Exp(1), 2/3 |N(0, I_min(nb,2))|
+    u = jax.random.uniform(k_u, (C,))
+    r_exp = jax.random.exponential(k_exp, (C,), dtype=X.dtype)
+    g2 = jax.random.normal(k_gauss, (C, 2), dtype=X.dtype)
+    chi2 = g2[:, 0] ** 2 + jnp.where(nb > 1, g2[:, 1] ** 2, 0.0)
+    r = jnp.where(u < 0.33, r_exp, jnp.sqrt(chi2))
+    DX = (scale * r[:, None] * e) @ transforms[block_index].T
+    return X + DX

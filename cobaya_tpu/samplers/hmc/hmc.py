@@ -64,27 +64,31 @@ class HMC(MCMC):
         import jax
         import jax.numpy as jnp
 
-        c = self._carry
-        best = jnp.argmax(c.logpost)
         widths = np.sqrt(np.diag(self._proposal.covmat))
-        key = self.next_jax_key()
-        jitter = 0.01 * jnp.asarray(widths, self._dtype) * jax.random.normal(
-            key, c.x.shape, dtype=self._dtype
-        )
-        x0 = c.x[best][None, :] + jitter
-        from ...ops.metropolis import init_carry
 
-        self._carry = self._shard(init_carry(
-            self.next_jax_key(), x0, self._logpost_fn, dtype=self._dtype,
-            full_eval=self._full_eval, temperature=self.temperature,
-        ))
+        # single fused device call (eager dispatch is ~1s/op on the
+        # tunnel-TPU backend)
+        @jax.jit
+        def cluster_starts(carry_x, carry_logpost, key):
+            best = jnp.argmax(carry_logpost)
+            jitter = 0.01 * jnp.asarray(widths, self._dtype) * \
+                jax.random.normal(key, carry_x.shape, dtype=self._dtype)
+            return carry_x[best][None, :] + jitter
+
+        x0 = cluster_starts(self._carry.x, self._carry.logpost,
+                            self.next_jax_key())
+        self._carry = self._shard(
+            self._jit_init_carry(self.next_jax_key(), x0))
 
     def _build_epoch_fn(self, wrap, blocks):
         import jax
 
+        self._built_record_keep = self._record_keep
         self._epoch_fn = jax.jit(make_hmc_epoch_fn(
             self._logpost_fn, wrap, self.temperature,
             n_leapfrog=int(self.leapfrog_steps),
+            record_keep=self._record_keep,
+            full_x_records=bool(self.cl_bounds_records),
         ))
 
     def _pack_hmc_args(self):

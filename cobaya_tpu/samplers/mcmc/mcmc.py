@@ -123,6 +123,19 @@ class MCMC(CovmatSampler):
         import jax
         import jax.numpy as jnp
 
+        # setup-phase timing (env-gated): the tunnel-TPU backend makes
+        # eager dispatches and compiles expensive; this pinpoints them
+        import os as _os
+
+        _t0 = time.time()
+        _timing = bool(_os.environ.get("COBAYA_TPU_SETUP_TIMING"))
+
+        def _tlog(phase):
+            if _timing:
+                self.mpi_info("[setup] %-18s +%.1fs", phase,
+                              time.time() - _t0)
+
+        self._setup_tlog = _tlog
         model = self.model
         self.d = len(model.parameterization.sampled_params())
         if self.d == 0:
@@ -167,6 +180,7 @@ class MCMC(CovmatSampler):
         )
         if self.measure_speeds and needs_speeds:
             model.measure_and_set_speeds(random_state=self.rng)
+        self._setup_tlog("speeds+blocking")
         if self.blocking:
             blocks, oversampling = model.check_blocking(self.blocking)
         else:
@@ -214,6 +228,7 @@ class MCMC(CovmatSampler):
         if covmat is None:
             covmat = self.initial_proposal_covmat()
         self._set_proposal(covmat)
+        self._setup_tlog("proposal")
         # cycled-direction state persists across proposal updates (the
         # cycler lives in whitened j-space, independent of the covariance)
         from ...ops.proposal import DirectionCycler
@@ -232,7 +247,17 @@ class MCMC(CovmatSampler):
             self._full_eval = self._block_eval = None
         periodic, bounds = model.prior.periodic_params_bounds
         wrap = model.prior.reduce_periodic if np.any(periodic) else None
+        # record emission policy must be known before the epoch compiles:
+        # records are sliced to the fetched subset inside the scan (full x
+        # only when the CL-bounds ring consumes it)
+        self._n_fetch = min(self.fetch_chains or self.n_chains,
+                            self.n_chains)
+        if self.Rminus1_cl_stop >= 100:
+            # the CL test can never bind (e.g. benchmarks): skip the ring
+            self.cl_bounds_records = 0
+        self._epoch_wrap = wrap
         self._build_epoch_fn(wrap, blocks)
+        self._setup_tlog("epoch_fn built")
         # on-device epoch diagnostics: everything the host needs, tiny.
         # (the tunnel-TPU backend moves data at ~0.5 MB/s, so cross-chain
         # statistics are reduced on device; only scalars + a (d, d) matrix
@@ -256,8 +281,6 @@ class MCMC(CovmatSampler):
                     jnp.max(carry.rejects_streak))
 
         self._stats_fn = jax.jit(epoch_stats)
-        self._n_fetch = min(self.fetch_chains or self.n_chains,
-                            self.n_chains)
         # device-side ring of recent records: CL-bound quantiles over ALL
         # walkers on device (the host only sees 3 small vectors), replacing
         # the reference's host-side getdist intervals (mcmc.py:918-1002)
@@ -265,10 +288,6 @@ class MCMC(CovmatSampler):
         self._ring_len = 0
         self._ring_stride = 1
         self._rec_seen = 0
-        # don't pay the ring's memory traffic when the CL test can never
-        # bind (e.g. benchmarks that disable it with a huge stop value)
-        if self.Rminus1_cl_stop >= 100:
-            self.cl_bounds_records = 0
         if self.cl_bounds_records:
             from ...ops.convergence import cl_bounds_stats_jax
 
@@ -317,6 +336,7 @@ class MCMC(CovmatSampler):
             self._try_resume()
         if self._carry is None:
             self._init_points()
+        self._setup_tlog("init_points")
         # output collections (subset of walkers written as chain files)
         self._collections = self._make_collections()
         self.mpi_info(
@@ -358,35 +378,86 @@ class MCMC(CovmatSampler):
 
         model = self.model
         C = self.n_chains
-        eval_batch = jax.jit(jax.vmap(self._logpost_fn))
-        x = np.empty((C, self.d), dtype=self._dtype)
-        filled = 0
-        max_tries = max(100, 10 * self._max_tries // self.d)
-        for attempt in range(max_tries):
-            key = self.next_jax_key()
-            draw = np.asarray(
-                model.prior.reference_jax(key, (C,)), dtype=self._dtype
-            )
-            lp, *_ = eval_batch(jnp.asarray(draw))
-            ok = np.isfinite(np.asarray(lp))
-            take = min(int(ok.sum()), C - filled)
-            if take:
-                x[filled:filled + take] = draw[ok][:take]
-                filled += take
-            if filled >= C:
-                break
-        else:
+        tlog = getattr(self, "_setup_tlog", lambda *_: None)
+
+        # the whole initialization is ONE device program: the valid-point
+        # search refills invalid lanes with fresh reference draws until
+        # every walker's posterior is finite, and the initial carry is
+        # built from the found points without them ever visiting the host.
+        # Rationale (measured on the tunnel-TPU backend): eager dispatches
+        # cost ~1s each, fetching a (C, d) array takes minutes, and every
+        # distinct jit program pays a slow remote compile — so host code
+        # here may fetch nothing, dispatch nothing eagerly, and should add
+        # no extra programs.  The "all walkers valid" flag stays on device
+        # and is checked after warm-up (see maybe_check_init) so its fetch
+        # overlaps the epoch compile.
+        rounds = int(np.clip(10 * self._max_tries // max(self.d, 1) // 16,
+                             16, 256))
+
+        @jax.jit
+        def init_state(key):
+            def cond(state):
+                i, _, _, ok = state
+                return (i < rounds) & ~jnp.all(ok)
+
+            def body(state):
+                i, key, x, ok = state
+                key, k = jax.random.split(key)
+                draw = jnp.asarray(model.prior.reference_jax(k, (C,)),
+                                   self._dtype)
+                lp, *_ = jax.vmap(self._logpost_fn)(draw)
+                good = jnp.isfinite(lp)
+                take = good & ~ok
+                x = jnp.where(take[:, None], draw, x)
+                return i + 1, key, x, ok | good
+
+            state = (jnp.zeros((), jnp.int32), key,
+                     jnp.zeros((C, self.d), self._dtype),
+                     jnp.zeros((C,), bool))
+            # while_loop (not fori): stops drawing as soon as every lane is
+            # valid, so host-callback likelihoods see no extra evaluations
+            # (the drag/oversampling eval-count semantics depend on this)
+            _, key, x, ok = jax.lax.while_loop(cond, body, state)
+            key, k_carry = jax.random.split(key)
+            carry = init_carry(k_carry, x, self._logpost_fn,
+                               dtype=self._dtype,
+                               full_eval=self._full_eval,
+                               temperature=self.temperature)
+            return carry, jnp.all(ok)
+
+        carry, self._init_all_ok = init_state(self.next_jax_key())
+        tlog("ip: dispatched")
+        self._carry = self._shard(carry)
+        tlog("ip: sharded")
+
+    def maybe_check_init(self):
+        """Verify the deferred on-device valid-point search succeeded."""
+        import jax
+
+        flag = getattr(self, "_init_all_ok", None)
+        if flag is None:
+            return
+        self._init_all_ok = None
+        if not bool(jax.device_get(flag)):
             raise LoggedError(
                 self.log,
-                "Could not find %d valid starting points after %d batched "
-                "tries. Check priors/likelihoods or provide better 'ref's.",
-                C, max_tries,
+                "Could not find valid starting points for all %d walkers. "
+                "Check priors/likelihoods or provide better 'ref's.",
+                self.n_chains,
             )
-        self.mpi_info("Initial points found for all %d walkers.", C)
-        carry = init_carry(self.next_jax_key(), x, self._logpost_fn,
-                           dtype=self._dtype, full_eval=self._full_eval,
-                           temperature=self.temperature)
-        self._carry = self._shard(carry)
+        self.mpi_info("Initial points found for all %d walkers.",
+                      self.n_chains)
+
+    def _jit_init_carry(self, key, x):
+        """Build the initial carry in one jitted device call (see
+        _init_points on eager-dispatch latency)."""
+        import jax
+
+        make = jax.jit(lambda k, x0: init_carry(
+            k, x0, self._logpost_fn, dtype=self._dtype,
+            full_eval=self._full_eval, temperature=self.temperature,
+        ))
+        return make(key, x)
 
     def _make_collections(self):
         from ...parallel import state as pstate
@@ -405,10 +476,16 @@ class MCMC(CovmatSampler):
             for i in range(n_out)
         ]
 
+    @property
+    def _record_keep(self) -> int:
+        """Walkers whose records the epoch emits (fetched subset)."""
+        return min(self._n_fetch, self.n_chains)
+
     def _build_epoch_fn(self, wrap, blocks):
         """Construct the jitted epoch function (hook for kernel variants)."""
         import jax
 
+        self._built_record_keep = self._record_keep
         if self.proposal_directions not in ("random", "cycled"):
             raise LoggedError(
                 self.log, "proposal_directions must be 'random' or "
@@ -434,13 +511,17 @@ class MCMC(CovmatSampler):
                 self._logpost_fn, wrap, self.temperature,
                 block_eval=self._block_eval,
                 drag_interp_steps=self._drag_interp_steps,
+                record_keep=self._record_keep,
+                full_x_records=bool(self.cl_bounds_records),
             ))
         else:
             cycled = self.proposal_directions == "cycled"
             self._epoch_fn = jax.jit(
                 make_epoch_fn(self._logpost_fn, wrap, self.temperature,
                               block_eval=self._block_eval,
-                              cycled_directions=cycled)
+                              cycled_directions=cycled,
+                              record_keep=self._record_keep,
+                              full_x_records=bool(self.cl_bounds_records))
             )
 
     def _direction_xs(self, schedule: np.ndarray, cycler=None) -> tuple:
@@ -483,12 +564,16 @@ class MCMC(CovmatSampler):
         from ...ops.proposal import DirectionCycler
 
         throwaway = DirectionCycler(self._proposal, np.random.default_rng(0))
+        tlog = getattr(self, "_setup_tlog", lambda *_: None)
         carry, recs = self._epoch_fn(
             self._carry, jnp.asarray(schedule),
             *self._direction_xs(schedule, cycler=throwaway), *self._prop_dev
         )
+        tlog("warmup dispatch")
         stats = self._stats_fn(carry)
+        self.maybe_check_init()
         jax.block_until_ready((carry.x, stats))
+        tlog("warmup ready")
         self.mpi_info("Warm-up compilation done.")
 
     # ------------------------------------------------------------------
@@ -496,6 +581,7 @@ class MCMC(CovmatSampler):
     # ------------------------------------------------------------------
     def run(self):
         """Sample until convergence (R-1 criteria) or max_samples."""
+        self.maybe_check_init()
         self.mpi_info("Sampling!")
         import jax
 
@@ -581,6 +667,10 @@ class MCMC(CovmatSampler):
                 self._win_steps[0] = 0
             if which in ("mom2", "both"):
                 self._win_steps[1] = 0
+        # rebuild the epoch program if the fetched-subset size changed
+        # after construction (e.g. the bench's wide validation fetch)
+        if getattr(self, "_built_record_keep", None) != self._record_keep:
+            self._build_epoch_fn(self._epoch_wrap, self._blocks)
         n_rec, thin = self._epoch_shape(n_steps)
         total = n_rec * thin
         if not hasattr(self, "_schedule_carry"):
@@ -974,8 +1064,12 @@ class MCMC(CovmatSampler):
         cache = ()
         if self._full_eval is not None:
             cache = jax.jit(jax.vmap(self._full_eval))(x)[4]
+        key_data = jnp.asarray(data["key"])
+        if key_data.ndim > 1:
+            # legacy per-walker key vectors: keep the first walker's stream
+            key_data = key_data[0]
         carry = MCMCCarry(
-            key=jax.random.wrap_key_data(jnp.asarray(data["key"])),
+            key=jax.random.wrap_key_data(key_data),
             x=x,
             logpost=jnp.asarray(data["logpost"], self._dtype),
             logpriors=jnp.asarray(data["logpriors"], self._dtype),
