@@ -10,6 +10,7 @@ from ..models.input_ import load_input_dict
 from ..utils.log import LoggedError, get_logger, logger_setup
 from ..utils.tools import recursive_update
 from ..utils.yamlio import yaml_dump_file, yaml_load_file
+from . import batch
 
 log = get_logger("grid")
 
@@ -37,6 +38,12 @@ def create_grid(grid_dir: str, settings) -> list[str]:
     - ``models`` (name -> info fragment), ``datasets`` (name -> info
       fragment), ``defaults`` (common info), ``skip`` (entry names to
       omit);
+    - ``groups`` (optional, reference batchjob.py:563-608 schema): named
+      subsets, each ``{models: [names]|{...}, datasets: [names]|{...},
+      base: str, defaults: {}, importance_runs: {}, skip: []}``; model/
+      dataset name lists refer to the top-level catalogs.  Entry names
+      become ``base_model_dataset`` and the group name is recorded in
+      the job manifest (``jobs.yaml``) for ``--group`` filtering;
     - ``minimize_defaults``: when set (even ``{}``), every entry also gets
       a ``<name>.minimize.yaml`` job replacing the sampler with
       ``minimize`` (merged with the given defaults), to be run after the
@@ -52,68 +59,118 @@ def create_grid(grid_dir: str, settings) -> list[str]:
       creation time (autoselect_covmat.get_best_covmat_ext).
     """
     settings = _load_settings(settings)
-    models = settings.get("models") or {"": {}}
-    datasets = settings.get("datasets") or {"": {}}
+    all_models = settings.get("models") or {"": {}}
+    all_datasets = settings.get("datasets") or {"": {}}
     defaults = settings.get("defaults") or {}
     skip = set(settings.get("skip") or ())
     minimize_defaults = settings.get("minimize_defaults")
-    importance_runs = settings.get("importance_runs") or {}
+    all_importance = settings.get("importance_runs") or {}
     importance_defaults = settings.get("importance_defaults") or {}
     cov_dir = settings.get("cov_dir")
+    # normalize to the group schema: no groups = one anonymous group over
+    # the full model x dataset cross
+    groups = settings.get("groups") or {
+        "": {"models": all_models, "datasets": all_datasets}}
+
+    def catalog(selection, catalog_dict, what):
+        if selection is None:
+            return dict(catalog_dict)
+        if isinstance(selection, Mapping):
+            return dict(selection)
+        out = {}
+        for name in selection:
+            if name not in catalog_dict:
+                raise LoggedError(log, "%s '%s' not defined in the "
+                                  "top-level catalog.", what, name)
+            out[name] = catalog_dict[name]
+        return out
+
     os.makedirs(os.path.join(grid_dir, "input_files"), exist_ok=True)
     yaml_dump_file(
         os.path.join(grid_dir, "grid_settings.yaml"),
-        {"models": list(models), "datasets": list(datasets),
-         "importance_runs": list(importance_runs),
+        {"groups": {g: {"models": list(catalog(spec.get("models"),
+                                               all_models, "Model")),
+                        "datasets": list(catalog(spec.get("datasets"),
+                                                 all_datasets, "Dataset"))}
+                    for g, spec in groups.items()},
+         "importance_runs": list(all_importance),
          "minimize": minimize_defaults is not None},
     )
     created = []
+    jobs: list[batch.JobItem] = []
 
-    def dump(name, info):
+    def dump(name, info, **job_fields):
         path = os.path.join(grid_dir, "input_files", name + ".yaml")
         yaml_dump_file(path, info, error_if_exists=False)
         created.append(path)
+        jobs.append(batch.JobItem(
+            name=name, input_file=os.path.join("input_files",
+                                               name + ".yaml"),
+            **job_fields))
         return path
 
-    for m_name, m_info in models.items():
-        for d_name, d_info in datasets.items():
-            name = "_".join(x for x in (m_name, d_name) if x)
-            if name in skip:
-                continue
-            info = recursive_update(
-                recursive_update(dict(defaults), m_info or {}),
-                d_info or {},
-            )
-            info["output"] = os.path.join(grid_dir, name, name)
-            _resolve_auto_covmat(info, cov_dir, name)
-            dump(name, info)
-            if minimize_defaults is not None:
-                info_min = dict(info)
-                info_min["sampler"] = {
-                    "minimize": dict(minimize_defaults or {})
-                }
-                dump(name + ".minimize", info_min)
-            for tag, post_frag in importance_runs.items():
-                post = recursive_update(dict(importance_defaults),
-                                        post_frag or {})
-                post["suffix"] = tag
-                info_post = {"output": info["output"], "post": post,
-                             "force": True}
-                dump(f"{name}.post.{tag}", info_post)
+    for g_name, g_spec in groups.items():
+        models = catalog(g_spec.get("models"), all_models, "Model")
+        datasets = catalog(g_spec.get("datasets"), all_datasets, "Dataset")
+        base = g_spec.get("base") or settings.get("base") or ""
+        g_defaults = recursive_update(dict(defaults),
+                                      g_spec.get("defaults") or {})
+        g_skip = skip | set(g_spec.get("skip") or ())
+        importance_runs = dict(all_importance,
+                               **(g_spec.get("importance_runs") or {}))
+        for m_name, m_info in models.items():
+            for d_name, d_info in datasets.items():
+                name = "_".join(
+                    x for x in (base, m_name, d_name) if x)
+                if name in g_skip:
+                    continue
+                info = recursive_update(
+                    recursive_update(dict(g_defaults), m_info or {}),
+                    d_info or {},
+                )
+                prefix = os.path.join(name, name)
+                info["output"] = os.path.join(grid_dir, prefix)
+                _resolve_auto_covmat(info, cov_dir, name)
+                tags = dict(group=g_name, base=base,
+                            param_tags=m_name.split("_") if m_name else [],
+                            data_tags=d_name.split("_") if d_name else [])
+                dump(name, info, kind="chains", output_prefix=prefix,
+                     **tags)
                 if minimize_defaults is not None:
-                    info_pm = dict(info)
-                    info_pm["sampler"] = {
+                    info_min = dict(info)
+                    info_min["sampler"] = {
                         "minimize": dict(minimize_defaults or {})
                     }
-                    # minimize over the importance-updated pipeline: start
-                    # from the post output chain
-                    info_pm["output"] = f"{info['output']}.post.{tag}"
-                    info_pm = recursive_update(info_pm, post.get("add") or
-                                               {})
-                    for name_r in (post.get("remove") or {}).get(
-                            "likelihood", []):
-                        info_pm.get("likelihood", {}).pop(name_r, None)
-                    dump(f"{name}.post.{tag}.minimize", info_pm)
+                    dump(name + ".minimize", info_min, kind="minimize",
+                         parent=name, output_prefix=prefix, **tags)
+                for tag, post_frag in importance_runs.items():
+                    post = recursive_update(dict(importance_defaults),
+                                            post_frag or {})
+                    post["suffix"] = tag
+                    info_post = {"output": info["output"], "post": post,
+                                 "force": True}
+                    dump(f"{name}.post.{tag}", info_post,
+                         kind="importance", parent=name,
+                         importance_tag=tag,
+                         output_prefix=f"{prefix}.post.{tag}", **tags)
+                    if minimize_defaults is not None:
+                        info_pm = dict(info)
+                        info_pm["sampler"] = {
+                            "minimize": dict(minimize_defaults or {})
+                        }
+                        # minimize over the importance-updated pipeline:
+                        # start from the post output chain
+                        info_pm["output"] = f"{info['output']}.post.{tag}"
+                        info_pm = recursive_update(
+                            info_pm, post.get("add") or {})
+                        for name_r in (post.get("remove") or {}).get(
+                                "likelihood", []):
+                            info_pm.get("likelihood", {}).pop(name_r, None)
+                        dump(f"{name}.post.{tag}.minimize", info_pm,
+                             kind="importance_minimize", parent=name,
+                             importance_tag=tag,
+                             output_prefix=f"{prefix}.post.{tag}", **tags)
+    batch.save_jobs(grid_dir, jobs)
     log.info("Created grid with %d jobs under '%s'.", len(created),
              grid_dir)
     return created
@@ -143,28 +200,20 @@ def _resolve_auto_covmat(info, cov_dir, name):
              mcmc["covmat"])
 
 
-def grid_inputs(grid_dir: str, kind: str = "chains") -> list[str]:
+def grid_inputs(grid_dir: str, kind: str = "chains",
+                jobs=None) -> list[str]:
     """Job input files of one kind: chains (parents), minimize,
     importance, or importance_minimize."""
-    folder = os.path.join(grid_dir, "input_files")
-    out = []
-    for f in sorted(os.listdir(folder)):
-        if not f.endswith(".yaml"):
-            continue
-        stem = f[:-5]
-        is_min = stem.endswith(".minimize")
-        is_post = ".post." in stem
-        job_kind = ("importance_minimize" if is_post and is_min else
-                    "importance" if is_post else
-                    "minimize" if is_min else "chains")
-        if job_kind == kind:
-            out.append(os.path.join(folder, f))
-    return out
+    if jobs is None:
+        jobs = batch.load_jobs(grid_dir)
+    return [os.path.join(grid_dir, j.input_file) for j in jobs
+            if j.kind == kind]
 
 
 def run_grid(grid_dir: str, dry_run: bool = False,
              job_template: Optional[str] = None,
-             resume: bool = True, kind: str = "chains") -> list:
+             resume: bool = True, kind: str = "chains",
+             jobs=None) -> list:
     """Run every grid job of ``kind`` (sequentially), or emit submission
     commands.
 
@@ -176,9 +225,12 @@ def run_grid(grid_dir: str, dry_run: bool = False,
     ``job_template``: a string with ``{input}`` and ``{name}`` placeholders;
     when given, the filled commands are printed/returned instead of running
     in-process (plug into sbatch & co.).
+
+    ``jobs``: an optional pre-filtered :func:`batch.load_jobs` subset
+    (see :class:`batch.BatchFilter`); default = every job of ``kind``.
     """
     results = []
-    for path in grid_inputs(grid_dir, kind=kind):
+    for path in grid_inputs(grid_dir, kind=kind, jobs=jobs):
         name = os.path.splitext(os.path.basename(path))[0]
         if job_template:
             cmd = job_template.format(input=path, name=name)
@@ -204,42 +256,19 @@ def run_grid(grid_dir: str, dry_run: bool = False,
     return results
 
 
-def grid_status(grid_dir: str) -> dict[str, str]:
+def grid_status(grid_dir: str, jobs=None) -> dict[str, str]:
     """Status per grid job (all kinds): not started / in progress / done."""
-    from ..utils import conventions as cv
-
     status = {}
-    for kind in ("chains", "minimize", "importance",
-                 "importance_minimize"):
-        for path in grid_inputs(grid_dir, kind=kind):
-            name = os.path.splitext(os.path.basename(path))[0]
-            info = load_input_dict(path)
-            prefix = info.get("output")
-            if kind in ("minimize", "importance_minimize"):
-                done = prefix and os.path.exists(prefix + ".minimum.txt")
-                status[name] = "done" if done else "not started"
-                continue
-            if kind == "importance":
-                suffix = (info.get("post") or {}).get("suffix", "")
-                done = prefix and os.path.exists(
-                    f"{prefix}.post.{suffix}.1.txt")
-                status[name] = "done" if done else "not started"
-                continue
-            checkpoint = None
-            if prefix:
-                folder = os.path.dirname(prefix)
-                if os.path.isdir(folder):
-                    for f in os.listdir(folder):
-                        if f.endswith(cv.Extension.checkpoint):
-                            checkpoint = os.path.join(folder, f)
-            if checkpoint is None:
-                status[name] = "not started"
-            else:
-                data = yaml_load_file(checkpoint)
-                converged = False
-                for block in (data.get("sampler") or {}).values():
-                    converged = bool(block.get("converged"))
-                status[name] = "done" if converged else "in progress"
+    for job in (batch.load_jobs(grid_dir) if jobs is None else jobs):
+        if job.kind != "chains":
+            status[job.name] = ("done" if job.chain_exists(grid_dir)
+                                else "not started")
+        elif job.chain_finished(grid_dir):
+            status[job.name] = "done"
+        elif job.checkpoint_file(grid_dir):
+            status[job.name] = "in progress"
+        else:
+            status[job.name] = "not started"
     return status
 
 
@@ -258,16 +287,19 @@ def grid_run_script(args=None):
     parser.add_argument("grid_dir")
     parser.add_argument("--dry-run", action="store_true")
     parser.add_argument("--job-template", default=None)
-    group = parser.add_mutually_exclusive_group()
-    group.add_argument("--minimize", action="store_true",
-                       help="run the per-entry minimize jobs")
-    group.add_argument("--importance", action="store_true",
-                       help="run the importance-sampling (post) jobs")
-    group.add_argument("--importance-minimize", action="store_true",
-                       help="run minimize jobs over the post outputs")
+    parser.add_argument("--minimize", action="store_true",
+                        help="run the per-entry minimize jobs")
+    parser.add_argument("--importance-minimize", action="store_true",
+                        help="run minimize jobs over the post outputs")
+    batch.BatchFilter.add_arguments(parser, notexist=True)
     ns = parser.parse_args(args)
-    kind = ("minimize" if ns.minimize else
-            "importance" if ns.importance else
-            "importance_minimize" if ns.importance_minimize else "chains")
+    # reference semantics (gridrun.py:100-109): --importance [tags...]
+    # selects the importance (post) jobs; --minimize their/--the minimize
+    # variants; plain = the parent chains
+    kind = ("importance_minimize" if ns.importance_minimize else
+            "minimize" if ns.minimize else
+            "importance" if ns.importance is not None else "chains")
+    jobs = batch.BatchFilter.select(batch.load_jobs(ns.grid_dir), ns,
+                                    grid_dir=ns.grid_dir, kinds=(kind,))
     run_grid(ns.grid_dir, dry_run=ns.dry_run, job_template=ns.job_template,
-             kind=kind)
+             kind=kind, jobs=jobs)

@@ -216,10 +216,18 @@ def grid_getdist_script(args=None):
 
 def grid_list_script(args=None):
     logger_setup()
+    from .batch import BatchFilter, load_jobs
+
     parser = argparse.ArgumentParser(prog="cobaya-tpu grid-list")
     parser.add_argument("grid_dir")
+    BatchFilter.add_arguments(parser, converge=True, notexist=True)
     ns = parser.parse_args(args)
+    jobs = BatchFilter.select(load_jobs(ns.grid_dir), ns,
+                              grid_dir=ns.grid_dir)
+    wanted = {j.name for j in jobs} | {j.name.split(".")[0] for j in jobs}
     for name, rec in grid_list(ns.grid_dir).items():
+        if name not in wanted:
+            continue
         print(f"{name}: {rec['status']}  "
               f"({rec['files']} files, {rec['size'] / 1e6:.1f} MB)")
 

@@ -448,3 +448,93 @@ def test_grid_auto_covmat_resolution(tmp_path):
     info = yaml_load_file([p for p in created
                            if p.endswith("m_d.yaml")][0])
     assert info["sampler"]["mcmc"]["covmat"].endswith("base_toy.covmat")
+
+
+def test_grid_groups_manifest_and_filters(tmp_path):
+    """Group-based grid schema + jobs.yaml manifest + BatchFilter
+    selection (reference: batchjob.py:563-608, batchjob_args.py:190-270)."""
+    from cobaya_tpu.grid_tools import batch
+
+    grid_dir = str(tmp_path / "grid")
+    like = lambda mu: {"likelihood": {"gaussian_mixture": {
+        "means": [[mu]], "covs": [[[0.01]]], "input_params": ["a"]}}}
+    settings = {
+        "base": "base",
+        "defaults": {
+            "params": {"a": {"prior": [0, 1], "ref": 0.5,
+                             "proposal": 0.05}},
+            "sampler": {"mcmc": {"seed": 1, "n_chains": 8,
+                                 "max_samples": 100,
+                                 "output_chains": 1}},
+        },
+        "models": {"mnu": like(0.5), "nnu": like(0.3), "": like(0.4)},
+        "datasets": {"plikHM_TT": {}, "plikHM_TTTEEE_lowl": {}},
+        "groups": {
+            "main": {"models": ["", "mnu"],
+                     "datasets": ["plikHM_TT", "plikHM_TTTEEE_lowl"],
+                     "importance_runs": {"BAO": {"add": {"prior": {
+                         "t": "lambda a: -(a - 0.45) ** 2"}}}}},
+            "ext": {"models": ["nnu"], "datasets": ["plikHM_TT"],
+                    "skip": []},
+        },
+    }
+    created = create_grid(grid_dir, settings)
+    jobs = batch.load_jobs(grid_dir)
+    by_name = {j.name: j for j in jobs}
+    # naming: base prefix + model + dataset; group recorded
+    assert "base_plikHM_TT" in by_name  # empty model name
+    assert by_name["base_mnu_plikHM_TT"].group == "main"
+    assert by_name["base_nnu_plikHM_TT"].group == "ext"
+    assert by_name["base_mnu_plikHM_TT"].param_tags == ["mnu"]
+    assert by_name["base_mnu_plikHM_TTTEEE_lowl"].data_tags == [
+        "plikHM", "TTTEEE", "lowl"]
+    # importance jobs only for the group that declares them
+    assert "base_mnu_plikHM_TT.post.BAO" in by_name
+    assert by_name["base_mnu_plikHM_TT.post.BAO"].kind == "importance"
+    assert by_name["base_mnu_plikHM_TT.post.BAO"].parent == \
+        "base_mnu_plikHM_TT"
+    assert not any(j.name.startswith("base_nnu") and j.is_importance
+                   for j in jobs)
+
+    # BatchFilter vocabulary
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    batch.BatchFilter.add_arguments(parser, converge=True, notexist=True)
+
+    def select(argv, **kw):
+        return {j.name for j in batch.BatchFilter.select(
+            jobs, parser.parse_args(argv), grid_dir=grid_dir, **kw)}
+
+    assert select(["--param", "mnu", "--noimportance"]) == {
+        "base_mnu_plikHM_TT", "base_mnu_plikHM_TTTEEE_lowl"}
+    assert select(["--data", "TTTEEE", "--noimportance"]) == {
+        "base_plikHM_TTTEEE_lowl", "base_mnu_plikHM_TTTEEE_lowl"}
+    assert select(["--musthave-data", "plikHM", "lowl",
+                   "--noimportance"]) == {
+        "base_plikHM_TTTEEE_lowl", "base_mnu_plikHM_TTTEEE_lowl"}
+    assert select(["--group", "ext"]) == {"base_nnu_plikHM_TT"}
+    assert select(["--skip-group", "main", "--skip-param", "nnu"]) == set()
+    assert select(["--name", "*mnu*TT", "--noimportance"]) == {
+        "base_mnu_plikHM_TT"}
+    assert select(["--paramtag", "base_mnu", "--noimportance"]) == {
+        "base_mnu_plikHM_TT", "base_mnu_plikHM_TTTEEE_lowl"}
+    # --importance restricts to importance jobs of the given data name
+    assert select(["--importance", "BAO"]) == {
+        "base_mnu_plikHM_TT.post.BAO", "base_plikHM_TT.post.BAO",
+        "base_mnu_plikHM_TTTEEE_lowl.post.BAO",
+        "base_plikHM_TTTEEE_lowl.post.BAO"}
+    # --notexist: nothing has chains yet -> everything; after running one
+    # parent chain, that job drops out
+    assert "base_nnu_plikHM_TT" in select(["--notexist"])
+    run_grid(grid_dir, jobs=[by_name["base_nnu_plikHM_TT"]])
+    assert "base_nnu_plikHM_TT" not in select(["--notexist"])
+    assert grid_status(grid_dir)["base_nnu_plikHM_TT"] in (
+        "done", "in progress")
+
+    # manifest round-trips: rebuild from input files only (pre-manifest
+    # grids) still classifies kinds correctly
+    os.remove(os.path.join(grid_dir, batch.JOBS_FILE))
+    rebuilt = {j.name: j for j in batch.load_jobs(grid_dir)}
+    assert rebuilt["base_mnu_plikHM_TT.post.BAO"].kind == "importance"
+    assert rebuilt["base_mnu_plikHM_TT"].kind == "chains"
