@@ -144,6 +144,10 @@ def run_one(kind: str, dim: int, n_chains: int,
         info, bm = build_cosmo_info(n_chains)
         dim = len(info["params"]) - len(bm.DERIVED)
     else:
+        if kind == "hmc":
+            # HMC converges in O(1) epochs: past ~16k walkers the extra
+            # per-step wall is not amortized (docs/performance.md)
+            n_chains = min(n_chains, 16384)
         info, cov = build_info(dim=dim, n_chains=n_chains)
     if max_samples:  # smoke-test override
         next(iter(info["sampler"].values()))["max_samples"] = max_samples
@@ -255,7 +259,9 @@ def main():
     import argparse
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("--n-chains", type=int, default=16384)
+    # 64k walkers: throughput now rises past 16k (sliced epoch records
+    # keep the record buffers off-device; docs/performance.md)
+    parser.add_argument("--n-chains", type=int, default=65536)
     parser.add_argument("--dim", type=int, default=50)
     parser.add_argument(
         "--sampler", default="all",
@@ -269,8 +275,18 @@ def main():
     ns = parser.parse_args()
     kinds = {"both": ["mcmc", "hmc"],
              "all": ["mcmc", "hmc", "cosmo"]}.get(ns.sampler, [ns.sampler])
-    rows = [run_one(k, ns.dim, ns.n_chains, max_samples=ns.max_samples)
-            for k in kinds]
+    rows = []
+    for k in kinds:
+        try:
+            rows.append(run_one(k, ns.dim, ns.n_chains,
+                                max_samples=ns.max_samples))
+        except Exception as exc:  # one bad row must not kill the report
+            print(f"[bench] {k} row FAILED: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+            if len(kinds) == 1:
+                raise
+    if not rows:
+        raise RuntimeError("all bench rows failed")
     # ONE JSON line for the driver: the headline is the fastest row (HMC),
     # honestly labeled; the same-algorithm MCMC row rides along in "rows"
     head = max(rows, key=lambda r: r["value"])
