@@ -185,6 +185,9 @@ def run_one(kind: str, dim: int, n_chains: int,
     ess = ess_sub * sampler.n_chains / n_fetched
     # ESS accrues over the post-burn half of the run
     ess_per_s = ess / (t_run / 2)
+    # records from the timed run only (the validation epoch below appends
+    # one record with a different walker count)
+    records_main = list(sampler._records)
     # validate the subsample extrapolation: fetch one post-convergence
     # epoch for a much larger walker sample and compare autocorrelation
     # times (outside the timed region)
@@ -228,7 +231,7 @@ def run_one(kind: str, dim: int, n_chains: int,
         # max |posterior mean - truth| / posterior std over the 6 LCDM
         # params, from the fetched walker records (post-burn half)
         xs = np.concatenate(
-            [r["x"] for r in sampler._records[len(sampler._records)//2:]],
+            [r["x"] for r in records_main[len(records_main)//2:]],
             axis=0)
         names = list(info["params"])
         zmax = 0.0

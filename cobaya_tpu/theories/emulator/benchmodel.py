@@ -108,8 +108,20 @@ def make_datasets(root: str, pliklite_lmax: int = 2508,
 
 def flagship_info(datasets_root: str, pliklite_lmax: int = 2508,
                   camspec_lmax: int = 600, grid_nodes: int = 4,
-                  ell_stride: int = 6, with_derived: bool = True) -> dict:
-    """Full model info dict (no sampler block)."""
+                  ell_stride: int = 6, with_derived: bool = True,
+                  cl_mode: str = "direct") -> dict:
+    """Full model info dict (no sampler block).
+
+    ``cl_mode: direct`` (default) evaluates the analytic acoustic source
+    in the trace — pure VPU elementwise math, ~3.7 ms/step at 4096
+    walkers on a v5e chip.  ``table`` exercises the PCA grid-emulator
+    pathway; its phase un-warp is a per-walker dynamic gather over
+    (walkers, lmax), which the current backend executes pathologically
+    slowly at large walker counts (~0.7 s per gather at 4096 x 2810 in
+    f64 — measured; the service watchdog then kills the epoch program),
+    so large-batch production runs should use ``direct`` until the
+    gather-free un-warp (phase-node basis interpolation) lands.
+    """
     paths = make_datasets(datasets_root, pliklite_lmax, camspec_lmax)
     params = {**{k: dict(v) for k, v in COSMO_PARAMS.items()},
               **{k: dict(v) for k, v in NUISANCE_PARAMS.items()}}
@@ -119,7 +131,7 @@ def flagship_info(datasets_root: str, pliklite_lmax: int = 2508,
     return {
         "theory": {"emulator": {
             "lmax": max(pliklite_lmax, camspec_lmax),
-            "cl_mode": "table", "grid_nodes": grid_nodes,
+            "cl_mode": cl_mode, "grid_nodes": grid_nodes,
             "ell_stride": ell_stride,
         }},
         "likelihood": {
