@@ -75,6 +75,62 @@ def test_cl_table_matches_direct():
                 < 0.02 * scale, spec
 
 
+def test_cl_table_warp_basis():
+    """Chebyshev-in-r un-warp matches the gather un-warp off-grid.
+
+    The gather un-warp resamples the synthesized spectrum at per-sample
+    warped indices (pathologically slow per-walker on TPU); the warp-basis
+    path folds the warp into a precompiled Chebyshev expansion evaluated
+    by a dense matmul.  Both are approximations of the same resampling, so
+    they must agree to well under the table's own 2% error budget."""
+    ranges = {p: tuple(v["prior"]) for p, v in COSMO_PARAMS.items()}
+    em = cs.ClEmulator.build(ranges, lmax=800, grid_nodes=3, n_pca=40,
+                             ell_stride=6, fixed={"mnu": 0.06})
+    assert em.warp_domain is not None and em._warp is not None
+    rng = np.random.default_rng(3)
+    use = slice(2, 701)
+    for _ in range(3):
+        q = {p: rng.uniform(*r) for p, r in ranges.items()}
+        q["mnu"] = 0.06
+        fast = em.emulate(q, np)
+        slow = em.emulate(q, np, use_warp_basis=False)
+        for spec in cs.SPECTRA:
+            scale = np.abs(slow[spec][use]).max()
+            assert np.abs(fast[spec][use] - slow[spec][use]).max() \
+                < 2e-3 * scale, spec
+
+
+def test_hat_weights_match_multilinear():
+    """Dense hat-product weights = exact multilinear corner interpolation."""
+    ranges = {p: tuple(v["prior"]) for p, v in COSMO_PARAMS.items()}
+    em = cs.ClEmulator.build(ranges, lmax=120, grid_nodes=4, n_pca=8,
+                             ell_stride=8, fixed={"mnu": 0.06},
+                             phase_align=False)
+    names = list(em.axes)
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        q = {p: rng.uniform(*ranges[p]) for p in names}
+        w = em._hat_weights(q, np)
+        assert w.shape == (4 ** len(names),)
+        np.testing.assert_allclose(w.sum(), 1.0, atol=1e-12)
+        # brute-force multilinear reference
+        tab = em.coeffs["tt"]
+        idxs, fracs = [], []
+        for p in names:
+            nodes = em.axes[p]
+            i = np.clip(np.searchsorted(nodes, q[p]) - 1, 0,
+                        len(nodes) - 2)
+            idxs.append(i)
+            fracs.append((q[p] - nodes[i]) / (nodes[i + 1] - nodes[i]))
+        ref = 0.0
+        for corner in range(2 ** len(names)):
+            bits = [(corner >> d) & 1 for d in range(len(names))]
+            cw = np.prod([f if b else 1 - f for f, b in zip(fracs, bits)])
+            ref = ref + cw * tab[tuple(i + b for i, b in zip(idxs, bits))]
+        got = w @ tab.reshape(-1, tab.shape[-1])
+        np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+
+
 def test_cl_table_roundtrip(tmp_path):
     ranges = {p: tuple(v["prior"]) for p, v in COSMO_PARAMS.items()}
     em = cs.ClEmulator.build(ranges, lmax=300, grid_nodes=3, n_pca=20,
