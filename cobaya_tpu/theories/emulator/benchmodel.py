@@ -34,8 +34,13 @@ COSMO_PARAMS = {
               "proposal": 1.5e-3, "latex": r"\Omega_\mathrm{c} h^2"},
     "H0": {"prior": {"min": 55.0, "max": 80.0}, "ref": 67.36,
            "proposal": 0.6, "latex": r"H_0"},
-    "tau": {"prior": {"min": 0.01, "max": 0.12}, "ref": 0.0544,
-            "proposal": 0.008, "latex": r"\tau_\mathrm{reio}"},
+    # Gaussian "lowE-equivalent" tau prior: with no low-ell likelihood in
+    # the synthetic dataset, tau is constrained only through A_s e^{-2tau};
+    # real analyses without lowE use exactly this prior (reference preset
+    # vocabulary: /root/reference/cobaya/cosmo_input/input_database.py)
+    "tau": {"prior": {"dist": "norm", "loc": 0.0544, "scale": 0.0073},
+            "ref": 0.0544, "proposal": 0.006,
+            "latex": r"\tau_\mathrm{reio}"},
     "logA": {"prior": {"min": 2.85, "max": 3.25}, "ref": 3.044,
              "proposal": 0.015, "latex": r"\log(10^{10} A_\mathrm{s})"},
     "ns": {"prior": {"min": 0.9, "max": 1.05}, "ref": 0.9649,
@@ -68,14 +73,16 @@ NUISANCE_PARAMS = {
            "proposal": 0.03},
     "aksz": {"prior": {"min": 0.0, "max": 10.0}, "ref": _FG["aksz"],
              "proposal": 0.4},
-    "dust100": {"prior": {"min": 0.0, "max": 3.0}, "ref": 1.0,
-                "proposal": 0.06},
-    "dust143": {"prior": {"min": 0.0, "max": 3.0}, "ref": 1.0,
-                "proposal": 0.06},
-    "dust217": {"prior": {"min": 0.0, "max": 3.0}, "ref": 1.0,
-                "proposal": 0.06},
-    "dust143x217": {"prior": {"min": 0.0, "max": 3.0}, "ref": 1.0,
-                    "proposal": 0.06},
+    # Gaussian dust-amplitude priors, as in the real CamSpec analyses
+    # (the galactic template amplitude is calibrated externally)
+    "dust100": {"prior": {"dist": "norm", "loc": 1.0, "scale": 0.2},
+                "ref": 1.0, "proposal": 0.06},
+    "dust143": {"prior": {"dist": "norm", "loc": 1.0, "scale": 0.2},
+                "ref": 1.0, "proposal": 0.06},
+    "dust217": {"prior": {"dist": "norm", "loc": 1.0, "scale": 0.2},
+                "ref": 1.0, "proposal": 0.06},
+    "dust143x217": {"prior": {"dist": "norm", "loc": 1.0, "scale": 0.2},
+                    "ref": 1.0, "proposal": 0.06},
     "cal0": {"prior": {"dist": "norm", "loc": 1.0, "scale": 0.001},
              "ref": 1.0, "proposal": 0.0008},
     "cal2": {"prior": {"dist": "norm", "loc": 1.0, "scale": 0.001},
@@ -92,22 +99,37 @@ TRUTH = {**{p: v["ref"] for p, v in COSMO_PARAMS.items()},
 DERIVED = ("sigma8", "omegam", "rdrag", "thetastar")
 
 
+# Joint Gaussian prior on the SZ combination, mirroring the real Planck
+# analyses' "SZ prior" (ksz + 1.6 A_sz = 9.5 +- 3; e.g. the reference's
+# CamSpec/plik runs): pure jnp arithmetic, so it traces onto the device
+# posterior (models/model.py logp_traced path).
+EXTERNAL_PRIORS = {
+    "SZ": "lambda asz143, aksz: -0.5 * ((aksz + 1.6 * asz143 - 9.5) / 3.0) ** 2",
+}
+
+
 def make_datasets(root: str, pliklite_lmax: int = 2508,
-                  camspec_lmax: int = 600) -> dict:
-    """Generate (or reuse) the synthetic datasets under ``root``."""
-    plik_ini = os.path.join(root, "plik", "pliklite_synthetic.dataset")
+                  camspec_lmax: int = 2000) -> dict:
+    """Generate (or reuse) the synthetic datasets under ``root``.
+
+    Cache directories are keyed by lmax so changing the ell range never
+    reuses a stale dataset.
+    """
+    plik_dir = os.path.join(root, f"plik_l{pliklite_lmax}")
+    plik_ini = os.path.join(plik_dir, "pliklite_synthetic.dataset")
     if not os.path.exists(plik_ini):
         plik_ini = md.make_pliklite_dataset(
-            os.path.join(root, "plik"), lmin=30, lmax=pliklite_lmax)
-    cams_ini = os.path.join(root, "camspec", "camspec_synthetic.dataset")
+            plik_dir, lmin=30, lmax=pliklite_lmax)
+    cams_dir = os.path.join(root, f"camspec_l{camspec_lmax}")
+    cams_ini = os.path.join(cams_dir, "camspec_synthetic.dataset")
     if not os.path.exists(cams_ini):
         cams_ini = md.make_camspec_dataset(
-            os.path.join(root, "camspec"), lmin=30, lmax=camspec_lmax)
+            cams_dir, lmin=30, lmax=camspec_lmax)
     return {"pliklite": plik_ini, "camspec": cams_ini}
 
 
 def flagship_info(datasets_root: str, pliklite_lmax: int = 2508,
-                  camspec_lmax: int = 600, grid_nodes: int = 4,
+                  camspec_lmax: int = 2000, grid_nodes: int = 4,
                   ell_stride: int = 6, with_derived: bool = True,
                   cl_mode: str = "direct") -> dict:
     """Full model info dict (no sampler block).
@@ -156,6 +178,7 @@ def flagship_info(datasets_root: str, pliklite_lmax: int = 2508,
                 "marginalize_M": True,
             },
         },
+        "prior": dict(EXTERNAL_PRIORS),
         "params": params,
     }
 

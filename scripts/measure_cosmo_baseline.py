@@ -106,6 +106,9 @@ def main(budget_s: float = 120.0):
               {**bm.COSMO_PARAMS, **bm.NUISANCE_PARAMS}.items()}
     info = {
         "params": params,
+        # same external priors (e.g. the SZ combination) as the TPU run,
+        # so both frameworks sample the identical posterior
+        "prior": dict(bm.EXTERNAL_PRIORS),
         "likelihood": {"flagship": {
             "external": loglike_ext,
             "input_params": order,
