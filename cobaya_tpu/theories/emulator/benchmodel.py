@@ -183,9 +183,28 @@ def flagship_info(datasets_root: str, pliklite_lmax: int = 2508,
     }
 
 
-def proposal_covmat() -> tuple[np.ndarray, list]:
-    """Diagonal proposal covmat from the per-parameter proposal widths."""
+#: packaged posterior covmat (reference text format: '# names' header +
+#: matrix), harvested from a converged run of this same model — the exact
+#: analogue of the covmat files real Planck analyses ship with their chains
+#: (reference covmat database, /root/reference/cobaya/cosmo_input/covmats).
+COVMAT_FILE = os.path.join(os.path.dirname(__file__), "flagship.covmat")
+
+
+def proposal_covmat(packaged: bool = True) -> tuple[np.ndarray, list]:
+    """Proposal covmat + parameter-name order for the flagship model.
+
+    Prefers the packaged converged-run covariance (correlated: the
+    foreground block has strong degeneracy directions the diagonal can't
+    express); falls back to a diagonal built from the per-parameter
+    proposal widths.
+    """
     names = list(COSMO_PARAMS) + list(NUISANCE_PARAMS)
+    if packaged and os.path.exists(COVMAT_FILE):
+        with open(COVMAT_FILE, encoding="utf-8") as f:
+            file_names = f.readline().lstrip("#").split()
+        cov = np.atleast_2d(np.loadtxt(COVMAT_FILE))
+        if file_names == names and cov.shape == (len(names),) * 2:
+            return cov, names
     widths = np.array([
         {**COSMO_PARAMS, **NUISANCE_PARAMS}[p]["proposal"] for p in names
     ])

@@ -241,6 +241,53 @@ def test_pk_interpolator_through_provider(tmp_path):
     assert 0.3 < fs8[0] < 0.7
 
 
+def test_flagship_covmat_roundtrip(tmp_path, monkeypatch):
+    """Packaged-covmat path: harvest script writes the reference text
+    format, proposal_covmat() loads it back; name/shape mismatches fall
+    back to the diagonal."""
+    import importlib.util
+    import os
+
+    from cobaya_tpu.theories.emulator import benchmodel as bm
+
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "make_flagship_covmat.py")
+    spec = importlib.util.spec_from_file_location("make_flagship_covmat",
+                                                  script)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    harvest = mod.main
+
+    names = list(bm.COSMO_PARAMS) + list(bm.NUISANCE_PARAMS)
+    d = len(names)
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(d, d))
+    cov_true = a @ a.T / d + np.eye(d)
+    npz = tmp_path / "hist.npz"
+    np.savez(npz, n=[100, 200], moc=[np.eye(d), cov_true],
+             com=[np.eye(d), np.eye(d)])
+    out = tmp_path / "flagship.covmat"
+    monkeypatch.setattr(bm, "COVMAT_FILE", str(out))
+    harvest(str(npz))
+    cov, got_names = bm.proposal_covmat()
+    assert got_names == names
+    np.testing.assert_allclose(cov, (cov_true + cov_true.T) / 2,
+                               rtol=1e-6, atol=1e-9)
+    # PSD regularization of a noisy (indefinite) epoch covariance
+    bad = cov_true.copy()
+    bad[0, 0] = -1.0
+    np.savez(npz, n=[100], moc=[bad], com=[np.eye(d)])
+    harvest(str(npz))
+    cov2, _ = bm.proposal_covmat()
+    assert np.linalg.eigvalsh(cov2).min() >= 0
+    # wrong names -> diagonal fallback
+    out.write_text("# a b c\n1 0 0\n0 1 0\n0 0 1\n")
+    cov3, _ = bm.proposal_covmat()
+    widths = np.array([{**bm.COSMO_PARAMS, **bm.NUISANCE_PARAMS}[p]
+                       ["proposal"] for p in names])
+    np.testing.assert_allclose(cov3, np.diag(widths ** 2))
+
+
 def test_flagship_benchmodel_parity(tmp_path):
     """26-param flagship model (pliklite + CamSpec FG + BAO + SN):
     device path == eager path, chi2(truth) ~ n_data."""
