@@ -147,6 +147,13 @@ def flagship_info(datasets_root: str, pliklite_lmax: int = 2508,
     paths = make_datasets(datasets_root, pliklite_lmax, camspec_lmax)
     params = {**{k: dict(v) for k, v in COSMO_PARAMS.items()},
               **{k: dict(v) for k, v in NUISANCE_PARAMS.items()}}
+    # dispersed reference distributions (reference preset practice,
+    # input_database.py): walkers must NOT all start at one point, or the
+    # between-walker variance starts at zero and R-1 is meaningless until
+    # the cloud has diffused; out-of-prior draws are resampled by Prior
+    for spec in params.values():
+        spec["ref"] = {"dist": "norm", "loc": spec["ref"],
+                       "scale": 2.0 * spec["proposal"]}
     if with_derived:
         for d in DERIVED:
             params[d] = {"derived": True}
