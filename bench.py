@@ -108,7 +108,7 @@ if os.path.exists(_cosmo_baseline_file):
 
 
 def build_cosmo_info(n_chains: int):
-    """Flagship Planck-like cosmology model, fully on device (26 params)."""
+    """Flagship Planck-like cosmology model, fully on device (24 sampled params)."""
     from cobaya_tpu.theories.emulator import benchmodel as bm
 
     info = bm.flagship_info("/tmp/cobaya_tpu_bench_data")
@@ -142,7 +142,7 @@ def run_one(kind: str, dim: int, n_chains: int,
     if kind == "cosmo":
         n_chains = min(n_chains, 8192)  # larger activation footprint
         info, bm = build_cosmo_info(n_chains)
-        dim = len(info["params"]) - len(bm.DERIVED)
+        dim = len(bm.sampled_names())
     else:
         if kind == "hmc":
             # HMC converges in O(1) epochs: past ~16k walkers the extra

@@ -1,6 +1,6 @@
 """The flagship cosmology benchmark model: Planck-like, fully on device.
 
-One canonical ~26-parameter inference setup shared by ``bench.py``, the
+One canonical 24-sampled-parameter inference setup shared by ``bench.py``, the
 CPU reference-baseline script, the driver entry point and the tests:
 
 - theory: :class:`EmulatorCosmology` (phase-aligned Cl table; exact
@@ -9,7 +9,8 @@ CPU reference-baseline script, the driver entry point and the tests:
   (calibration nuisance), synthetic CamSpec with the full 15-parameter
   foreground model + 4 calibrations, BAO (distances, H, f sigma8) and SN
   (M-marginalized) — every one evaluated by its ``logp_jax`` device path;
-- sampled parameters: 6 LCDM + A_planck + 15 foregrounds + 4 calibrations.
+- sampled parameters: 6 LCDM + A_planck + 13 foregrounds + 4 calibrations
+  (the CIB spectral shape is a fixed input, as in real analyses).
 
 The datasets are generated deterministically from the surrogate's own
 fiducial (:mod:`.mockdata`), so truth is known and posterior recovery is
@@ -98,6 +99,18 @@ TRUTH = {**{p: v["ref"] for p, v in COSMO_PARAMS.items()},
 
 DERIVED = ("sigma8", "omegam", "rdrag", "thetastar")
 
+# CIB spectral shape fixed to the template, as in the real CamSpec/plik
+# analyses (only the amplitude acib217 is sampled): a free amplitude x
+# index x running manifold is unconstrained by a single-ell-range TT fit
+# and real runs never sample it.
+FIXED_PARAMS = ("ncib", "cibrun")
+
+
+def sampled_names() -> list:
+    """Sampled-parameter order of the flagship model."""
+    return [p for p in list(COSMO_PARAMS) + list(NUISANCE_PARAMS)
+            if p not in FIXED_PARAMS]
+
 
 # Joint Gaussian prior on the SZ combination, mirroring the real Planck
 # analyses' "SZ prior" (ksz + 1.6 A_sz = 9.5 +- 3; e.g. the reference's
@@ -137,12 +150,10 @@ def flagship_info(datasets_root: str, pliklite_lmax: int = 2508,
     ``cl_mode: direct`` (default) evaluates the analytic acoustic source
     in the trace — pure VPU elementwise math, ~3.7 ms/step at 4096
     walkers on a v5e chip.  ``table`` exercises the PCA grid-emulator
-    pathway; its phase un-warp is a per-walker dynamic gather over
-    (walkers, lmax), which the current backend executes pathologically
-    slowly at large walker counts (~0.7 s per gather at 4096 x 2810 in
-    f64 — measured; the service watchdog then kills the epoch program),
-    so large-batch production runs should use ``direct`` until the
-    gather-free un-warp (phase-node basis interpolation) lands.
+    pathway (production architecture for real-Boltzmann tables): hat-
+    product coefficient interpolation + Chebyshev-in-r phase un-warp,
+    both dense matmuls — gather-free, so it batches cleanly at large
+    walker counts too.
     """
     paths = make_datasets(datasets_root, pliklite_lmax, camspec_lmax)
     params = {**{k: dict(v) for k, v in COSMO_PARAMS.items()},
@@ -151,7 +162,10 @@ def flagship_info(datasets_root: str, pliklite_lmax: int = 2508,
     # input_database.py): walkers must NOT all start at one point, or the
     # between-walker variance starts at zero and R-1 is meaningless until
     # the cloud has diffused; out-of-prior draws are resampled by Prior
-    for spec in params.values():
+    for name, spec in params.items():
+        if name in FIXED_PARAMS:
+            params[name] = {"value": TRUTH[name]}
+            continue
         spec["ref"] = {"dist": "norm", "loc": spec["ref"],
                        "scale": 2.0 * spec["proposal"]}
     if with_derived:
@@ -205,7 +219,7 @@ def proposal_covmat(packaged: bool = True) -> tuple[np.ndarray, list]:
     express); falls back to a diagonal built from the per-parameter
     proposal widths.
     """
-    names = list(COSMO_PARAMS) + list(NUISANCE_PARAMS)
+    names = sampled_names()
     if packaged and os.path.exists(COVMAT_FILE):
         with open(COVMAT_FILE, encoding="utf-8") as f:
             file_names = f.readline().lstrip("#").split()

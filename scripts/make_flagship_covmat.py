@@ -27,7 +27,7 @@ def main(npz_path: str) -> str:
     with np.load(npz_path) as z:
         moc = np.asarray(z["moc"][-1], float)  # within-walker covariance
         n = int(np.asarray(z["n"])[-1])
-    names = list(bm.COSMO_PARAMS) + list(bm.NUISANCE_PARAMS)
+    names = bm.sampled_names()
     if moc.shape != (len(names),) * 2:
         raise SystemExit(
             f"covariance shape {moc.shape} != ({len(names)},)x2")

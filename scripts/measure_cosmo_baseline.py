@@ -2,7 +2,7 @@
 cosmology posterior.
 
 Runs the reference sampler from /root/reference on exactly the same
-26-parameter Planck-like synthetic posterior as bench.py's "cosmo" row:
+Planck-like synthetic posterior as bench.py's "cosmo" row:
 the posterior is exposed to the reference as one external likelihood
 callable that evaluates cobaya_tpu's *eager numpy* pipeline (surrogate
 theory + plik-lite + CamSpec foregrounds + BAO + SN) — the same math the
@@ -88,7 +88,7 @@ def main(budget_s: float = 120.0):
 
     info_tpu = bm.flagship_info("/tmp/cobaya_tpu_bench_data")
     model_tpu = get_model_tpu(info_tpu)
-    order = list(bm.COSMO_PARAMS) + list(bm.NUISANCE_PARAMS)
+    order = bm.sampled_names()
     assert order == list(model_tpu.parameterization.sampled_params())
 
     n_evals = [0]
@@ -102,8 +102,11 @@ def main(budget_s: float = 120.0):
     from cobaya.model import get_model
     from cobaya.sampler import get_sampler
 
-    params = {p: dict(v) for p, v in
-              {**bm.COSMO_PARAMS, **bm.NUISANCE_PARAMS}.items()}
+    # same sampled/fixed split + dispersed refs as the TPU run (the fixed
+    # CIB-shape params are inputs of the device pipeline, not the external
+    # callable, so they are simply dropped here)
+    params = {p: v for p, v in info_tpu["params"].items()
+              if p in order}
     info = {
         "params": params,
         # same external priors (e.g. the SZ combination) as the TPU run,
@@ -148,7 +151,7 @@ def main(budget_s: float = 120.0):
     n_evals = int(weights.sum()) + getattr(mcmc, "burn_in_left", 0)
     result = {
         "framework": "cobaya (reference)",
-        "config": ("26-param Planck-like synthetic cosmology "
+        "config": ("24-sampled-param Planck-like synthetic cosmology "
                    "(surrogate theory, eager numpy likelihoods), "
                    "adaptive MCMC, 1 chain, CPU"),
         "elapsed_s": elapsed,

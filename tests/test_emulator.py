@@ -258,7 +258,7 @@ def test_flagship_covmat_roundtrip(tmp_path, monkeypatch):
     spec.loader.exec_module(mod)
     harvest = mod.main
 
-    names = list(bm.COSMO_PARAMS) + list(bm.NUISANCE_PARAMS)
+    names = bm.sampled_names()
     d = len(names)
     rng = np.random.default_rng(0)
     a = rng.normal(size=(d, d))
@@ -289,7 +289,7 @@ def test_flagship_covmat_roundtrip(tmp_path, monkeypatch):
 
 
 def test_flagship_benchmodel_parity(tmp_path):
-    """26-param flagship model (pliklite + CamSpec FG + BAO + SN):
+    """24-sampled-param flagship model (pliklite + CamSpec FG + BAO + SN):
     device path == eager path, chi2(truth) ~ n_data."""
     from cobaya_tpu.theories.emulator import benchmodel as bm
 
@@ -297,8 +297,7 @@ def test_flagship_benchmodel_parity(tmp_path):
                             camspec_lmax=200, grid_nodes=3, ell_stride=8)
     model = get_model(info)
     assert all(like.jittable for like in model.likelihood.values())
-    x = np.array([bm.TRUTH[p] for p in
-                  list(bm.COSMO_PARAMS) + list(bm.NUISANCE_PARAMS)])
+    x = np.array([bm.TRUTH[p] for p in bm.sampled_names()])
     eager = model.logposterior(x)
     nb_plik = 3 * (len(md._bin_edges(30, 400)) - 1)
     chi2 = -2 * eager.loglikes[0]
