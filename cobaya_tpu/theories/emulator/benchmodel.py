@@ -205,19 +205,20 @@ def flagship_info(datasets_root: str, pliklite_lmax: int = 2508,
 
 
 #: packaged posterior covmat (reference text format: '# names' header +
-#: matrix), harvested from a converged run of this same model — the exact
-#: analogue of the covmat files real Planck analyses ship with their chains
-#: (reference covmat database, /root/reference/cobaya/cosmo_input/covmats).
+#: matrix), produced by ``scripts/make_flagship_covmat.py`` — a Laplace
+#: approximation at the synthetic truth (refreshable from a converged
+#: run's within-walker statistics) — the exact analogue of the covmat
+#: files real Planck analyses ship with their chains (reference covmat
+#: database, /root/reference/cobaya/cosmo_input/covmats).
 COVMAT_FILE = os.path.join(os.path.dirname(__file__), "flagship.covmat")
 
 
 def proposal_covmat(packaged: bool = True) -> tuple[np.ndarray, list]:
     """Proposal covmat + parameter-name order for the flagship model.
 
-    Prefers the packaged converged-run covariance (correlated: the
-    foreground block has strong degeneracy directions the diagonal can't
-    express); falls back to a diagonal built from the per-parameter
-    proposal widths.
+    Prefers the packaged correlated covariance (the foreground block has
+    strong degeneracy directions the diagonal can't express); falls back
+    to a diagonal built from the per-parameter proposal widths.
     """
     names = sampled_names()
     if packaged and os.path.exists(COVMAT_FILE):
