@@ -124,6 +124,9 @@ def build_cosmo_info(n_chains: int):
         "records_per_epoch": 64,
         "fetch_chains": 8,
         "max_samples": 400000,
+        # wall-clock budget: an unconverged run reports converged=false
+        # instead of sampling for hours
+        "max_wall": 2700,
     }}
     return info, bm
 
@@ -215,6 +218,10 @@ def run_one(kind: str, dim: int, n_chains: int,
         metric = (f"ESS/sec, {dim}-D correlated Gaussian, {algo}, "
                   "to R-1<0.01")
         baseline = REFERENCE_ESS_PER_S
+    if not sampler.converged:
+        metric += " (stopped before convergence: R-1 = %.3g)" % (
+            sampler.Rminus1_last,
+        )
     row = {
         "metric": metric,
         "value": round(ess_per_s, 2),
@@ -222,6 +229,7 @@ def run_one(kind: str, dim: int, n_chains: int,
         "vs_baseline": (round(ess_per_s / baseline, 2)
                         if baseline else None),
         "sampler": kind,
+        "converged": bool(sampler.converged),
         "tau_records_subsample": round(tau, 3),
         "tau_records_wide": (round(tau_wide, 3)
                              if tau_wide is not None else None),
@@ -280,14 +288,21 @@ def main():
              "all": ["mcmc", "hmc", "cosmo"]}.get(ns.sampler, [ns.sampler])
     rows = []
     for k in kinds:
-        try:
-            rows.append(run_one(k, ns.dim, ns.n_chains,
-                                max_samples=ns.max_samples))
-        except Exception as exc:  # one bad row must not kill the report
-            print(f"[bench] {k} row FAILED: {type(exc).__name__}: {exc}",
-                  file=sys.stderr)
-            if len(kinds) == 1:
-                raise
+        for attempt in (1, 2):
+            try:
+                rows.append(run_one(k, ns.dim, ns.n_chains,
+                                    max_samples=ns.max_samples))
+                break
+            except Exception as exc:  # one bad row must not kill the report
+                print(f"[bench] {k} row FAILED: {type(exc).__name__}: {exc}",
+                      file=sys.stderr)
+                transient = "UNAVAILABLE" in str(exc)
+                if attempt == 2 or not transient:
+                    if len(kinds) == 1:
+                        raise
+                    break
+                print(f"[bench] retrying {k} once (transient device error)",
+                      file=sys.stderr)
     if not rows:
         raise RuntimeError("all bench rows failed")
     # ONE JSON line for the driver: the headline is the fastest row (HMC),

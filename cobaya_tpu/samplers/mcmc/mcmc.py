@@ -84,6 +84,7 @@ class MCMC(CovmatSampler):
     learn_proposal_Rminus1_max_early: float
     learn_proposal_Rminus1_min: float
     max_samples: float
+    max_wall: Optional[float]
     Rminus1_stop: float
     Rminus1_cl_stop: float
     Rminus1_cl_level: float
@@ -112,7 +113,7 @@ class MCMC(CovmatSampler):
     supports_periodic_params = True
 
     _at_resume_prefer_new = [
-        "max_samples", "max_tries", "output_every", "learn_every",
+        "max_samples", "max_wall", "max_tries", "output_every", "learn_every",
         "callback_function", "callback_every", "Rminus1_stop",
         "Rminus1_cl_stop", "Rminus1_cl_level", "learn_proposal",
     ]
@@ -607,7 +608,15 @@ class MCMC(CovmatSampler):
         # only used without output.
         pipelined = bool(self.pipeline_epochs) and not self.output
         pending = None
+        t_loop0 = time.time()
+        hit_wall = False
         while not self.converged and self.n_steps < self.max_samples:
+            # at least one epoch always runs, so a too-small budget still
+            # yields a usable (if unconverged) sample
+            if (self.max_wall and self.n_steps
+                    and time.time() - t_loop0 > self.max_wall):
+                hit_wall = True
+                break
             current = pending or self._dispatch_epoch(self._learn_every)
             pending = None
             if pipelined and (
@@ -631,6 +640,12 @@ class MCMC(CovmatSampler):
                 "after %d steps/walker (%d total posterior evals).",
                 self.Rminus1_last, self.Rminus1_cl_last, self.n_steps,
                 self.n_steps * self.n_chains,
+            )
+        elif hit_wall:
+            self.mpi_warning(
+                "Stopped at the max_wall=%ss wall-clock budget without "
+                "convergence (R-1 = %.4g).", self.max_wall,
+                self.Rminus1_last,
             )
         else:
             self.mpi_warning(

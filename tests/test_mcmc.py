@@ -349,3 +349,16 @@ def test_cl_bounds_ring_mechanics():
     })
     _, sampler2 = run(info2)
     assert sampler2.cl_bounds_records == 0 and sampler2._ring is None
+
+
+def test_max_wall_budget():
+    """max_wall stops an unconverged run at an epoch boundary."""
+    info = random_gaussian_info(dim=2, random_state=21)
+    info["sampler"] = {"mcmc": {"seed": 9, "n_chains": 32,
+                                "max_samples": 10**9,
+                                "Rminus1_stop": 1e-12,  # never converges
+                                "max_wall": 1e-6}}
+    _, sampler = run(info)
+    assert not sampler.converged
+    # at least the first dispatched epoch(s) completed, then the budget hit
+    assert 0 < sampler.n_steps < 10**9
