@@ -228,6 +228,21 @@ class MCMC(CovmatSampler):
             covmat = self.load_covmat_checkpoint()
         if covmat is None:
             covmat = self.initial_proposal_covmat()
+        # reference semantics (mcmc.py:419-429): a missing/incomplete initial
+        # covmat starts proposal learning earlier — permanently, not for a
+        # fixed number of checks
+        if getattr(self, "covmat_fallback_params", None) and \
+                self.learn_proposal:
+            self.mpi_info(
+                "Covariance matrix not complete (fallback widths used for "
+                "%d param(s)). We will start learning the covariance of the "
+                "proposal earlier: R-1 = %g (would be %g if all params "
+                "loaded).", len(self.covmat_fallback_params),
+                self.learn_proposal_Rminus1_max_early,
+                self.learn_proposal_Rminus1_max,
+            )
+            self.learn_proposal_Rminus1_max = \
+                self.learn_proposal_Rminus1_max_early
         self._set_proposal(covmat)
         self._setup_tlog("proposal")
         # cycled-direction state persists across proposal updates (the
@@ -848,13 +863,12 @@ class MCMC(CovmatSampler):
             self._checks_passed = 0
         if self._checks_passed >= max(self.Rminus1_n_checks - 1, 1):
             self.converged = True
-        # proposal learning
-        early = self.n_steps <= 3 * self._learn_every
-        rmax = (self.learn_proposal_Rminus1_max_early if early
-                else self.learn_proposal_Rminus1_max)
+        # proposal learning (learn_proposal_Rminus1_max was raised to the
+        # "early" value at initialization when the covmat was incomplete)
         if (
             self.learn_proposal and not self.converged
-            and self.learn_proposal_Rminus1_min < self.Rminus1_last < rmax
+            and self.learn_proposal_Rminus1_min < self.Rminus1_last
+            < self.learn_proposal_Rminus1_max
         ):
             try:
                 self._set_proposal(self._last_stats["mean_of_covs"])

@@ -300,6 +300,10 @@ class CovmatSampler(Sampler):
                             ]
         # per-param fallbacks for missing diagonal entries
         missing = [i for i in range(d) if np.isnan(cov[i, i])]
+        # provenance for the proposal-learning gate (reference mcmc.py:419-429
+        # keeps the "early" R-1 threshold permanently when the covmat was
+        # missing or incomplete)
+        self.covmat_fallback_params = [params[i] for i in missing]
         if missing:
             proposals = self.model.parameterization.get_sampled_params_proposals()
             ref_vars = self.model.prior.reference_variances()
