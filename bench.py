@@ -131,6 +131,41 @@ def build_cosmo_info(n_chains: int):
     return info, bm
 
 
+def epoch_flops(sampler):
+    """Analytic FLOP count of one compiled epoch program (XLA cost model).
+
+    Re-lowers the exact warmup invocation; with the compilation cache warm
+    this is a cache hit, not a second compile.  Returns None when the
+    backend's cost analysis is unavailable.
+    """
+    try:
+        import jax.numpy as jnp
+
+        from cobaya_tpu.ops.proposal import (
+            DirectionCycler,
+            make_block_schedule,
+        )
+
+        n_rec, thin = sampler._epoch_shape(sampler._learn_every)
+        schedule = make_block_schedule(
+            sampler._proposal, n_rec * thin, np.random.default_rng(0)
+        ).reshape(n_rec, thin)
+        throwaway = DirectionCycler(sampler._proposal,
+                                    np.random.default_rng(0))
+        args = (sampler._carry, jnp.asarray(schedule),
+                *sampler._direction_xs(schedule, cycler=throwaway),
+                *sampler._prop_dev)
+        lowered = sampler._epoch_fn.lower(*args)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception as exc:
+        print(f"[bench] cost analysis unavailable: {exc}", file=sys.stderr)
+        return None
+
+
 def run_one(kind: str, dim: int, n_chains: int,
             validate_walkers: int = 512,
             max_samples: int | None = None) -> dict:
@@ -142,19 +177,21 @@ def run_one(kind: str, dim: int, n_chains: int,
 
     t_setup = time.time()
     bm = None
-    if kind == "cosmo":
+    is_cosmo = kind.startswith("cosmo")
+    is_hmc = kind.endswith("hmc")
+    if is_cosmo:
         n_chains = min(n_chains, 8192)  # larger activation footprint
         info, bm = build_cosmo_info(n_chains)
         dim = len(bm.sampled_names())
     else:
-        if kind == "hmc":
+        if is_hmc:
             # HMC converges in O(1) epochs: past ~16k walkers the extra
             # per-step wall is not amortized (docs/performance.md)
             n_chains = min(n_chains, 16384)
         info, cov = build_info(dim=dim, n_chains=n_chains)
     if max_samples:  # smoke-test override
         next(iter(info["sampler"].values()))["max_samples"] = max_samples
-    if kind == "hmc":
+    if is_hmc:
         opts = info["sampler"].pop("mcmc")
         opts.pop("oversample_power", None)
         # HMC records are fully decorrelated at much denser thinning
@@ -201,10 +238,12 @@ def run_one(kind: str, dim: int, n_chains: int,
         tau_wide = multichain_ess([sampler._records[-1]], burn_frac=0)[1]
     except Exception as exc:  # diagnostics only; never fail the bench
         print(f"[bench] extrapolation check failed: {exc}", file=sys.stderr)
-    if kind == "cosmo":
+    if is_cosmo:
+        algo = ("HMC kernel (exact XLA gradients through the theory)"
+                if is_hmc else "adaptive blocked Metropolis")
         metric = (f"ESS/sec, {dim}-param Planck-like cosmology "
                   "(device Boltzmann surrogate + plik-lite + CamSpec FG + "
-                  "BAO + SN), adaptive blocked Metropolis, to R-1<0.01")
+                  f"BAO + SN), {algo}, to R-1<0.01")
         # same algorithm on the same posterior -> ESS/eval is common;
         # the reference baseline is its measured eval throughput times
         # this run's ESS-per-eval (see scripts/measure_cosmo_baseline.py)
@@ -213,7 +252,7 @@ def run_one(kind: str, dim: int, n_chains: int,
             total_evals = sampler.n_steps * sampler.n_chains
             baseline = COSMO_BASELINE_EVALS_PER_S * ess / total_evals
     else:
-        algo = ("HMC kernel (gradient-based)" if kind == "hmc"
+        algo = ("HMC kernel (gradient-based)" if is_hmc
                 else "adaptive blocked Metropolis (reference algorithm)")
         metric = (f"ESS/sec, {dim}-D correlated Gaussian, {algo}, "
                   "to R-1<0.01")
@@ -233,8 +272,28 @@ def run_one(kind: str, dim: int, n_chains: int,
         "tau_records_subsample": round(tau, 3),
         "tau_records_wide": (round(tau_wide, 3)
                              if tau_wide is not None else None),
+        # provenance: the driver artifact must be self-contained
+        "devices": n_dev,
+        "n_chains": int(sampler.n_chains),
+        "dim": int(dim),
+        "setup_s": round(t_compile, 1),
+        "model_s": round(t_model, 1),
+        "sampler_init_s": round(t_sampler, 1),
+        "warmup_s": round(t_warm, 1),
+        "wall_s": round(t_run, 1),
+        "steps_per_walker": int(sampler.n_steps),
+        "evals_per_s": round(sampler.n_steps * sampler.n_chains / t_run, 1),
+        "Rminus1": round(float(sampler.Rminus1_last), 5),
     }
-    if kind == "cosmo":
+    flops = epoch_flops(sampler)
+    if flops:
+        # device utilization of the sampling program: analytic FLOPs of
+        # one compiled epoch x epochs executed / sampling wall
+        n_epochs = max(1, sampler.n_steps // sampler._learn_every)
+        row["tflops_per_s"] = float(
+            f"{flops * n_epochs / t_run / 1e12:.4g}")
+        row["epoch_gflops"] = float(f"{flops / 1e9:.4g}")
+    if is_cosmo:
         # posterior-recovery check against the known synthetic truth:
         # max |posterior mean - truth| / posterior std over the 6 LCDM
         # params, from the fetched walker records (post-burn half)
@@ -276,16 +335,19 @@ def main():
     parser.add_argument("--dim", type=int, default=50)
     parser.add_argument(
         "--sampler", default="all",
-        choices=["mcmc", "hmc", "cosmo", "both", "all"],
+        choices=["mcmc", "hmc", "cosmo", "cosmo-hmc", "both", "all"],
         help="mcmc: the reference's Metropolis algorithm (apples-to-apples);"
              " hmc: gradient-based kernel exploiting the jitted posterior;"
              " cosmo: the end-to-end on-device cosmology pipeline;"
+             " cosmo-hmc: the cosmology pipeline under HMC (exact XLA"
+             " gradients through the Boltzmann surrogate);"
              " all (default): every row")
     parser.add_argument("--max-samples", type=int, default=None,
                         help="cap steps/walker (smoke tests)")
     ns = parser.parse_args()
     kinds = {"both": ["mcmc", "hmc"],
-             "all": ["mcmc", "hmc", "cosmo"]}.get(ns.sampler, [ns.sampler])
+             "all": ["mcmc", "hmc", "cosmo", "cosmo-hmc"]}.get(
+                 ns.sampler, [ns.sampler])
     rows = []
     for k in kinds:
         for attempt in (1, 2):

@@ -336,8 +336,8 @@ class BAO(InstallableLikelihood):
         )
         if self._prob_logpdf is not None:
             return self._prob_logpdf_jax(theory[0]), {}
-        delta = theory - jnp.asarray(self.data_values)
-        return -0.5 * delta @ jnp.asarray(self.invcov) @ delta, {}
+        delta = theory - self.hoist("data_values", self.data_values)
+        return -0.5 * delta @ self.hoist("invcov", self.invcov) @ delta, {}
 
     def logp(self, _derived=None, **params_values):
         if self._grid_dims:

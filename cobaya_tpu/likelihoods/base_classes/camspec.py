@@ -118,17 +118,37 @@ class CamSpec(DataSetLikelihood):
         self.lmax = np.array(lmaxs)
         used_indices = np.concatenate(used_indices)
         self.data_vector = np.concatenate(data_blocks)[used_indices]
-        covfile = ini.relativeFileName("covmat_fiducial")
-        dtype = np.float64 if "64.bin" in covfile else np.float32
-        cov = np.fromfile(covfile, dtype=dtype)
-        if cov.size != nX * nX:
-            raise LoggedError(
-                self.log, "Covariance size %d != %d^2", cov.size, nX
-            )
-        self.cov = cov.reshape(nX, nX)[
-            np.ix_(used_indices, used_indices)
-        ].astype(np.float64)
-        self.covinv = np.linalg.inv(self.cov)
+        # Diagonal-covariance datasets (e.g. the synthetic Knox-noise
+        # benchmark data) may ship the diagonal as a plain vector file:
+        # O(n) storage/IO and an O(n) chi^2 instead of a dense n x n
+        # matrix (the full-range synthetic set's dense covariance is
+        # ~1.1 GB — it blew the compiled program past the remote-compile
+        # size limit and wastes HBM bandwidth on a matvec whose matrix is
+        # almost all zeros).  Released CamSpec data uses the dense binary
+        # (reference planck_2018_CamSpec_python.py covmat_fiducial).
+        diagfile = ini.relativeFileName("covmat_fiducial_diag", "")
+        self.covinv: Optional[np.ndarray] = None
+        self.covinv_diag: Optional[np.ndarray] = None
+        if diagfile and os.path.exists(diagfile):
+            diag = np.loadtxt(diagfile)
+            if diag.size != nX:
+                raise LoggedError(
+                    self.log, "Diagonal covariance size %d != %d",
+                    diag.size, nX,
+                )
+            self.covinv_diag = 1.0 / diag[used_indices]
+        else:
+            covfile = ini.relativeFileName("covmat_fiducial")
+            dtype = np.float64 if "64.bin" in covfile else np.float32
+            cov = np.fromfile(covfile, dtype=dtype)
+            if cov.size != nX * nX:
+                raise LoggedError(
+                    self.log, "Covariance size %d != %d^2", cov.size, nX
+                )
+            self.cov = cov.reshape(nX, nX)[
+                np.ix_(used_indices, used_indices)
+            ].astype(np.float64)
+            self.covinv = np.linalg.inv(self.cov)
         max_l = int(np.max(self.lmax))
         self.ls = np.arange(max_l + 1)
         self.llp1 = self.ls * (self.ls + 1)
@@ -215,6 +235,8 @@ class CamSpec(DataSetLikelihood):
             else:
                 delta[ix:ix + n] -= CEE[ells] / cal
             ix += n
+        if self.covinv_diag is not None:
+            return float(np.sum(delta ** 2 * self.covinv_diag))
         return float(delta @ self.covinv @ delta)
 
     def get_requirements(self):
@@ -263,17 +285,17 @@ class CamSpec(DataSetLikelihood):
             )
         else:
             acib143 = acib143_derived
-        lnrat = jnp.asarray(self.lnrat)
+        lnrat = self.hoist("lnrat", self.lnrat)
         cl_cib = jnp.exp(
             p["ncib"] * lnrat + p["cibrun"] * lnrat ** 2 / 2
-        ) * jnp.asarray(self.cib_217)
-        ksz = p["aksz"] * jnp.asarray(self.ksz)
+        ) * self.hoist("cib_217", self.cib_217)
+        ksz = p["aksz"] * self.hoist("ksz", self.ksz)
         a_sz143 = p["asz143"] * _SZ_BP_143
         a_cib143 = acib143 * _CIB_BP_143
         a_cib217 = acib217 * _CIB_BP_217
         xi = jnp.asarray(p["xi"])
-        sz_143 = jnp.asarray(self.sz_143)
-        tszxcib = jnp.asarray(self.tszxcib)
+        sz_143 = self.hoist("sz_143", self.sz_143)
+        tszxcib = self.hoist("tszxcib", self.tszxcib)
         fg = jnp.stack([
             ksz + p["asz143"] * _SZ_BP_100 * sz_143,
             (a_cib143 * cl_cib + ksz + a_sz143 * sz_143
@@ -282,8 +304,8 @@ class CamSpec(DataSetLikelihood):
             (p["cibr"] * jnp.sqrt(a_cib143 * a_cib217) * cl_cib + ksz
              - jnp.sqrt(a_cib217 * a_sz143) * xi * tszxcib),
         ])
-        fg = fg + adust[:, None] * jnp.asarray(self.dust) \
-            + aps[:, None] * jnp.asarray(self.llp1)[None, :]
+        fg = fg + adust[:, None] * self.hoist("dust", self.dust) \
+            + aps[:, None] * self.hoist("llp1", self.llp1)[None, :]
         return fg
 
     def _get_cals_jax(self, p):
@@ -314,7 +336,8 @@ class CamSpec(DataSetLikelihood):
             if n == 0:
                 continue
             ells = np.asarray(self.ell_ranges[i])
-            data_seg = jnp.asarray(self.data_vector[ix:ix + n])
+            data_seg = self.hoist(f"data_vector_{i}",
+                                  self.data_vector[ix:ix + n])
             if i <= 3:
                 model = (jnp.asarray(cls["tt"])[ells] + fg[i][ells]) / cals[i]
             elif i == 4:
@@ -324,7 +347,10 @@ class CamSpec(DataSetLikelihood):
             segments.append(data_seg - model)
             ix += n
         delta = jnp.concatenate(segments)
-        return -0.5 * delta @ jnp.asarray(self.covinv) @ delta, {}
+        if self.covinv_diag is not None:
+            w = self.hoist("covinv_diag", self.covinv_diag)
+            return -0.5 * jnp.sum(delta ** 2 * w), {}
+        return -0.5 * delta @ self.hoist("covinv", self.covinv) @ delta, {}
 
 
 # name used by the reference

@@ -176,7 +176,7 @@ class CMBlikes(DataSetLikelihood):
         # may span more ells than the theory vector provides
         ncol = min(self.windows.shape[1], self.lmax + 1)
         theory = jnp.stack([
-            jnp.asarray(self.windows[:, :ncol])
+            self.hoist("windows", self.windows)[:, :ncol]
             @ jnp.asarray(cls[name])[:ncol]
             for name in self.use_cl
         ], axis=1)  # (nbins, n_cl)
@@ -184,9 +184,9 @@ class CMBlikes(DataSetLikelihood):
             cal = jnp.asarray(params.get(self.calibration_param, 1.0))
             theory = theory / cal ** 2
         if self.cl_noise is not None:
-            theory = theory + jnp.asarray(self.cl_noise)
-        data = jnp.asarray(self.bandpowers)
-        invcov = jnp.asarray(self.invcov)
+            theory = theory + self.hoist("cl_noise", self.cl_noise)
+        data = self.hoist("bandpowers", self.bandpowers)
+        invcov = self.hoist("invcov", self.invcov)
         if self.like_approx == "exact":
             L_eff = (self.lmin_bins + self.lmax_bins) / 2
             rat = data / theory
@@ -203,7 +203,7 @@ class CMBlikes(DataSetLikelihood):
                     0, rat - jnp.log(jnp.maximum(rat, 1e-30)) - 1
                 )
             )
-            x = (g * jnp.asarray(fid)).reshape(-1)
+            x = (g * self.hoist("cl_fid_plus_noise", fid)).reshape(-1)
             return -0.5 * x @ invcov @ x, {}
         delta = (theory - data).reshape(-1)
         return -0.5 * delta @ invcov @ delta, {}

@@ -178,9 +178,10 @@ class CMBlikesMatrix(DataSetLikelihood):
         )
         M = self.theory_cl_matrices_jax(cls, params)
         theory = jnp.einsum(
-            "bl,lij->bij", jnp.asarray(self.windows[:, : M.shape[0]]), M
-        ) + jnp.asarray(self.Cnoise)  # C per bin
-        Chat = jnp.asarray(self.Chat + self.Cnoise)
+            "bl,lij->bij",
+            self.hoist("windows", self.windows)[:, : M.shape[0]], M
+        ) + self.hoist("Cnoise", self.Cnoise)  # C per bin
+        Chat = self.hoist("Chat_plus_noise", self.Chat + self.Cnoise)
         if self.like_approx == "exact":
             Msolve = jnp.linalg.solve(theory, Chat)
             L_eff = (self.lmin_bins + self.lmax_bins) / 2
@@ -207,14 +208,14 @@ class CMBlikesMatrix(DataSetLikelihood):
                 )
             )
             inner = jnp.einsum("bim,bm,bjm->bij", V, g, V)
-            Cf = jnp.asarray(self.Cfid_sqrt)
+            Cf = self.hoist("Cfid_sqrt", self.Cfid_sqrt)
             X = jnp.einsum("bij,bjk,blk->bil", Cf, inner, Cf)
             x = X[:, ii, jj].reshape(-1)
-            chi2 = x @ jnp.asarray(self.covinv) @ x
+            chi2 = x @ self.hoist("covinv", self.covinv) @ x
             return jnp.where(bad, -jnp.inf, -0.5 * chi2), {}
         X = theory - Chat  # gaussian: C - Chat (noise cancels)
         x = X[:, ii, jj].reshape(-1)
-        return -0.5 * x @ jnp.asarray(self.covinv) @ x, {}
+        return -0.5 * x @ self.hoist("covinv", self.covinv) @ x, {}
 
 
 def _matrix_sqrt(M: np.ndarray) -> np.ndarray:

@@ -372,8 +372,10 @@ class DES(DataSetLikelihood):
             )
         else:
             tmplens = tmp
-        j0s, j2s, j4s = self.bessel_cache
-        op = jnp.asarray(self._bessel_op)
+        j0s = self.hoist("bessel_j0", self.bessel_cache[0])
+        j2s = self.hoist("bessel_j2", self.bessel_cache[1])
+        j4s = self.hoist("bessel_j4", self.bessel_cache[2])
+        op = self.hoist("bessel_op", self._bessel_op)
         vecs: dict = {}
         if "xip" in self.used_types or "xim" in self.used_types:
             t_xip = _DATA_TYPES.index("xip")
@@ -382,20 +384,20 @@ class DES(DataSetLikelihood):
                 cl = op @ (tmplens @ (qs[f1] * qs[f2]))
                 fac = ((1 + shear_calibration_parameters[f1])
                        * (1 + shear_calibration_parameters[f2]))
-                vecs[(t_xip, f1, f2)] = (cl @ jnp.asarray(j0s)) * fac
-                vecs[(t_xim, f1, f2)] = (cl @ jnp.asarray(j4s)) * fac
+                vecs[(t_xip, f1, f2)] = (cl @ j0s) * fac
+                vecs[(t_xim, f1, f2)] = (cl @ j4s) * fac
         if "gammat" in self.used_types:
             t_g = _DATA_TYPES.index("gammat")
             for f1, f2 in self.bin_pairs[self.data_types.index("gammat")]:
                 cl = op @ (tmp @ (qgal[f1] * qs[f2]))
-                vecs[(t_g, f1, f2)] = (cl @ jnp.asarray(j2s)) * (
+                vecs[(t_g, f1, f2)] = (cl @ j2s) * (
                     1 + shear_calibration_parameters[f2]
                 )
         if "wtheta" in self.used_types:
             t_w = _DATA_TYPES.index("wtheta")
             for f1, f2 in self.bin_pairs[self.data_types.index("wtheta")]:
                 cl = op @ (tmp @ (qgal[f1] * qgal[f2]))
-                vecs[(t_w, f1, f2)] = cl @ jnp.asarray(j0s)
+                vecs[(t_w, f1, f2)] = cl @ j0s
         return jnp.stack([
             vecs[(t, f1, f2)][ix] for (t, f1, f2, ix) in self.used_items
         ])
@@ -426,8 +428,8 @@ class DES(DataSetLikelihood):
             intrinsic_alignment_alpha=p.get("DES_alphaIA", 0.0),
             intrinsic_alignment_z0=p.get("DES_z0IA", 0.62),
         )
-        delta = jnp.asarray(self.data_vector) - theory_vec
-        return -0.5 * delta @ jnp.asarray(self.covinv) @ delta, {}
+        delta = self.hoist("data_vector", self.data_vector) - theory_vec
+        return -0.5 * delta @ self.hoist("covinv", self.covinv) @ delta, {}
 
     def chi_squared(self, theory, return_theory_vector: bool = False):
         theory_vec = self.make_vector(theory)

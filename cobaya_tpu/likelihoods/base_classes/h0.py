@@ -12,7 +12,11 @@ class H0(Likelihood):
     """Gaussian constraint on today's Hubble parameter."""
 
     type = "H0"
-    jittable = False  # depends on a (host-callback) theory-provided param
+    # H0 reaches the traced path either as a model input param
+    # (sampled H0) or as a provider product (derived H0, e.g. when
+    # sampling theta); both are traced values, so the Gaussian runs
+    # fully on device
+    jittable = True
 
     H0_mean: float
     H0_std: float
@@ -28,3 +32,10 @@ class H0(Likelihood):
         return float(
             self._minus_half_invvar * (H0_theory - self.H0_mean) ** 2
         )
+
+    def logp_jax(self, params, provider_products=None):
+        from ...theories.cosmo.traced import TracedCosmoProducts
+
+        H0_theory = TracedCosmoProducts(
+            self, provider_products).get_param("H0")
+        return self._minus_half_invvar * (H0_theory - self.H0_mean) ** 2, {}

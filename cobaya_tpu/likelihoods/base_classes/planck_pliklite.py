@@ -141,9 +141,10 @@ class PlanckPlikLite(DataSetLikelihood):
         )
         calib = jnp.asarray(params.get(self.calibration_param, 1.0))
         binned = [
-            jnp.asarray(block) @ jnp.asarray(cls[cl])[: self.lmax + 1]
+            self.hoist(f"bin_block_{cl}", block)
+            @ jnp.asarray(cls[cl])[: self.lmax + 1]
             for cl, block in zip(self.use_cl, self._bin_blocks)
         ]
         theory = jnp.concatenate(binned) / calib ** 2
-        delta = jnp.asarray(self.X_data) - theory
-        return -0.5 * delta @ jnp.asarray(self.invcov) @ delta, {}
+        delta = self.hoist("X_data", self.X_data) - theory
+        return -0.5 * delta @ self.hoist("invcov", self.invcov) @ delta, {}

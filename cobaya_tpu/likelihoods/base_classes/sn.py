@@ -412,7 +412,7 @@ class SN(DataSetLikelihood):
                        - beta * self.colour - estimated_scriptm)
             cov = jnp.zeros((self.nsn, self.nsn))
             if "mag" in self.covs:
-                cov = cov + jnp.asarray(self.covs["mag"])
+                cov = cov + self.hoist("covs_mag", self.covs["mag"])
             for name, sign, fac in (
                 ("stretch", 1.0, alpha ** 2), ("colour", 1.0, beta ** 2),
                 ("mag_stretch", 1.0, 2 * alpha),
@@ -420,7 +420,7 @@ class SN(DataSetLikelihood):
                 ("stretch_colour", -1.0, 2 * alpha * beta),
             ):
                 if name in self.covs:
-                    cov = cov + sign * fac * jnp.asarray(self.covs[name])
+                    cov = cov + sign * fac * self.hoist(f"covs_{name}", self.covs[name])
             cov = cov + jnp.diag(dvar)
             chol = jnp.linalg.cholesky(cov)
 
@@ -441,12 +441,12 @@ class SN(DataSetLikelihood):
                     / jnp.sum(invvars)
                 )
             diffmag = self.mag - lumdists - estimated_scriptm
-            invcov = jnp.asarray(self.invcov)
+            invcov = self.hoist("invcov", self.invcov)
             wt = invcov @ diffmag
             inv_ones = invcov @ jnp.ones(self.nsn)
         amarg_A = wt @ diffmag
         if self.twoscriptmfit:
-            A1, A2 = jnp.asarray(self.A1), jnp.asarray(self.A2)
+            A1, A2 = self.hoist("A1", self.A1), self.hoist("A2", self.A2)
             amarg_B = wt @ A1
             amarg_C = wt @ A2
             if self.alphabeta_covmat:
@@ -563,7 +563,7 @@ class SN(DataSetLikelihood):
         import jax.numpy as jnp
 
         mu_theory = lumdists + 25
-        invcov = jnp.asarray(self.invcov)
+        invcov = self.hoist("invcov", self.invcov)
         if self.use_abs_mag:
             delta = self.mag - (mu_theory + params["Mb"])
             return -0.5 * delta @ invcov @ delta
@@ -681,7 +681,7 @@ class PantheonPlusLike(SN):
         lumdists = self.lumdists_jax(provider_products)
         scriptm = (params["Mb"] + 25) if self.use_abs_mag else 0.0
         diffmag = self.mag - lumdists - scriptm
-        return -0.5 * diffmag @ jnp.asarray(self.invcov) @ diffmag, {}
+        return -0.5 * diffmag @ self.hoist("invcov", self.invcov) @ diffmag, {}
 
 
 def _read_matrix(path: str, n: int) -> np.ndarray:

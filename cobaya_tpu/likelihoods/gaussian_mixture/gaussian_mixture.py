@@ -115,18 +115,18 @@ class GaussianMixture(Likelihood):
             time.sleep(self.delay)
         x = jnp.stack([jnp.asarray(params[p]) for p in self.input_params])
         dtype = x.dtype
-        diffs = x[None, :] - jnp.asarray(self._means, dtype)  # (modes, d)
+        diffs = x[None, :] - self.hoist("means", self._means).astype(dtype)  # (modes, d)
         # standardized residuals per mode: invL @ diff
         standard = jnp.einsum(
-            "mij,mj->mi", jnp.asarray(self._invL, dtype), diffs
+            "mij,mj->mi", self.hoist("invL", self._invL).astype(dtype), diffs
         )
-        per_mode = jnp.asarray(self._lognorm, dtype) - 0.5 * jnp.sum(
+        per_mode = self.hoist("lognorm", self._lognorm).astype(dtype) - 0.5 * jnp.sum(
             standard * standard, axis=-1
         )
         if self.n_modes == 1:
             logp = per_mode[0]
         else:
-            logp = logsumexp(per_mode, b=jnp.asarray(self._weights, dtype))
+            logp = logsumexp(per_mode, b=self.hoist("weights", self._weights).astype(dtype))
         derived = {}
         if self.derived:
             flat = standard.reshape(-1)

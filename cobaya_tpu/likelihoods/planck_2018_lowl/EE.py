@@ -84,7 +84,7 @@ class EE(InstallableLikelihood):
         theory = cls[self._lmin:self._lmax + 1] / (
             calib ** 2 * self._stepEE)
         idx = theory.astype(jnp.int32)  # truncation, as the eager path
-        table = jnp.asarray(self.prob_table)
+        table = self.hoist("prob_table", self.prob_table)
         inside = (idx >= 0) & (idx < table.shape[0])
         cols = np.arange(table.shape[1])
         vals = table[jnp.clip(idx, 0, table.shape[0] - 1), cols]

@@ -131,8 +131,8 @@ class TT(InstallableLikelihood):
         )["tt"]
         calib = jnp.asarray(params.get("A_planck", 1.0))
         theory = cls[self.lmin:self.lmax + 1] / calib ** 2  # (n_ell,)
-        knots = jnp.asarray(self._knots)      # (n_ell, K)
-        coeffs = jnp.asarray(self._coeffs)    # (n_ell, 4, K-1)
+        knots = self.hoist("knots", self._knots)      # (n_ell, K)
+        coeffs = self.hoist("coeffs", self._coeffs)    # (n_ell, 4, K-1)
         K = knots.shape[1]
         # per-row segment search (vectorized over ells)
         idx = jnp.clip(
@@ -143,12 +143,12 @@ class TT(InstallableLikelihood):
                                 axis=2)[:, :, 0]  # (n_ell, 4)
         x = ((c[:, 0] * t + c[:, 1]) * t + c[:, 2]) * t + c[:, 3]
         dxdCl = (3 * c[:, 0] * t + 2 * c[:, 1]) * t + c[:, 2]
-        bounds = jnp.asarray(self._prior_bounds)
+        bounds = self.hoist("prior_bounds", self._prior_bounds)
         inside = jnp.all((theory >= bounds[:, 0])
                          & (theory <= bounds[:, 1])) & jnp.all(dxdCl > 0)
-        delta = x - jnp.asarray(self._mu)
+        delta = x - self.hoist("mu", self._mu)
         logl = (jnp.sum(jnp.log(jnp.maximum(dxdCl, 1e-300)))
-                - 0.5 * delta @ jnp.asarray(self._covinv) @ delta
+                - 0.5 * delta @ self.hoist("covinv", self._covinv) @ delta
                 - self._offset)
         return jnp.where(inside, logl, -jnp.inf), {}
 

@@ -778,7 +778,10 @@ class Model(HasLogger):
             logpriors = [logprior0]
             for ext in self.prior.external.values():
                 logpriors.append(jnp.asarray(ext.logp_traced(input_values)))
-            products: dict[str, Any] = {}
+            # mirror Provider.get_param's input-param fallback (the
+            # reference provider resolves param requirements from the
+            # current input params first, theory.py:447)
+            products: dict[str, Any] = {"__input__": input_values}
             outputs: dict[str, Any] = {}
             loglikes_list = []
             for comp in comp_order:
@@ -885,7 +888,7 @@ class Model(HasLogger):
                 for ext in self.prior.external.values()
             ]
             new_cache = list(cache)
-            products: dict[str, Any] = {}
+            products: dict[str, Any] = {"__input__": input_values}
             for i, comp in enumerate(comp_order):
                 if i in recompute_idx:
                     params = {p: input_values[p] for p in comp.input_params

@@ -90,6 +90,19 @@ class Theory(CobayaComponent):
                          packages_path=packages_path, initialize=initialize,
                          standalone=standalone)
 
+    def hoist(self, name: str, value):
+        """A data table used in this component's traced path.
+
+        Returns ``jnp.asarray(value)`` semantically, but lets samplers lift
+        the array out of the compiled program and pass it as a runtime
+        argument instead of an HLO literal (see :mod:`cobaya_tpu.ops.hoist`).
+        Every ``jnp.asarray(self.<table>)`` in a ``logp_jax``/``calculate_jax``
+        should be written ``self.hoist("<table>", self.<table>)``.
+        """
+        from ..ops.hoist import hoisted
+
+        return hoisted(f"{self.get_name()}/{name}", value)
+
     # ---- requirements protocol ------------------------------------------------
     def get_requirements(self) -> dict | Sequence:
         """Unconditional requirements from other components."""

@@ -189,9 +189,14 @@ def post(info_or_yaml_or_file, sample=None):
     import jax
     import jax.numpy as jnp
 
-    fn = jax.jit(jax.vmap(model_add.make_logposterior_fn(
-        clip_to_bounds=False
-    )))
+    from .ops import hoist as hoist_ops
+
+    _fn_raw = model_add.make_logposterior_fn(clip_to_bounds=False)
+    _d = len(model_add.parameterization.sampled_params())
+    fn = hoist_ops.jit_with_consts(
+        jax.vmap(_fn_raw),
+        hoist_ops.device_consts(hoist_ops.collect(_fn_raw, np.zeros(_d))),
+    )
 
     # --- 4. per-collection batched recomputation + reweighting ---------------------
     out_collections = []

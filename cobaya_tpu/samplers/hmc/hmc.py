@@ -81,15 +81,15 @@ class HMC(MCMC):
             self._jit_init_carry(self.next_jax_key(), x0))
 
     def _build_epoch_fn(self, wrap, blocks):
-        import jax
+        from ...ops import hoist as hoist_ops
 
         self._built_record_keep = self._record_keep
-        self._epoch_fn = jax.jit(make_hmc_epoch_fn(
+        self._epoch_fn = hoist_ops.jit_with_consts(make_hmc_epoch_fn(
             self._logpost_fn, wrap, self.temperature,
             n_leapfrog=int(self.leapfrog_steps),
             record_keep=self._record_keep,
             full_x_records=bool(self.cl_bounds_records),
-        ))
+        ), self._consts)
 
     def _pack_hmc_args(self):
         import jax.numpy as jnp

@@ -261,6 +261,17 @@ class MCMC(CovmatSampler):
             )
         else:
             self._full_eval = self._block_eval = None
+        # hoist the components' static data tables (covariances, binning
+        # matrices, templates) out of every program that traces the
+        # posterior: they become device-resident jit arguments instead of
+        # HLO literal constants (ops/hoist.py; the flagship cosmology
+        # program carried >1 GB of such constants before this)
+        from ...ops import hoist as hoist_ops
+
+        self._consts = hoist_ops.device_consts(
+            hoist_ops.collect(self._logpost_fn, np.zeros(self.d))
+        )
+        self._setup_tlog("consts hoisted")
         periodic, bounds = model.prior.periodic_params_bounds
         wrap = model.prior.reduce_periodic if np.any(periodic) else None
         # record emission policy must be known before the epoch compiles:
@@ -410,7 +421,8 @@ class MCMC(CovmatSampler):
         rounds = int(np.clip(10 * self._max_tries // max(self.d, 1) // 16,
                              16, 256))
 
-        @jax.jit
+        from ...ops import hoist as hoist_ops
+
         def init_state(key):
             def cond(state):
                 i, _, _, ok = state
@@ -441,6 +453,7 @@ class MCMC(CovmatSampler):
                                temperature=self.temperature)
             return carry, jnp.all(ok)
 
+        init_state = hoist_ops.jit_with_consts(init_state, self._consts)
         carry, self._init_all_ok = init_state(self.next_jax_key())
         tlog("ip: dispatched")
         self._carry = self._shard(carry)
@@ -469,10 +482,12 @@ class MCMC(CovmatSampler):
         _init_points on eager-dispatch latency)."""
         import jax
 
-        make = jax.jit(lambda k, x0: init_carry(
+        from ...ops import hoist as hoist_ops
+
+        make = hoist_ops.jit_with_consts(lambda k, x0: init_carry(
             k, x0, self._logpost_fn, dtype=self._dtype,
             full_eval=self._full_eval, temperature=self.temperature,
-        ))
+        ), self._consts)
         return make(key, x)
 
     def _make_collections(self):
@@ -499,7 +514,7 @@ class MCMC(CovmatSampler):
 
     def _build_epoch_fn(self, wrap, blocks):
         """Construct the jitted epoch function (hook for kernel variants)."""
-        import jax
+        from ...ops import hoist as hoist_ops
 
         self._built_record_keep = self._record_keep
         if self.proposal_directions not in ("random", "cycled"):
@@ -523,21 +538,22 @@ class MCMC(CovmatSampler):
             )
             self.mpi_info("Dragging with %d interpolating steps.",
                           self._drag_interp_steps)
-            self._epoch_fn = jax.jit(make_drag_epoch_fn(
+            self._epoch_fn = hoist_ops.jit_with_consts(make_drag_epoch_fn(
                 self._logpost_fn, wrap, self.temperature,
                 block_eval=self._block_eval,
                 drag_interp_steps=self._drag_interp_steps,
                 record_keep=self._record_keep,
                 full_x_records=bool(self.cl_bounds_records),
-            ))
+            ), self._consts)
         else:
             cycled = self.proposal_directions == "cycled"
-            self._epoch_fn = jax.jit(
+            self._epoch_fn = hoist_ops.jit_with_consts(
                 make_epoch_fn(self._logpost_fn, wrap, self.temperature,
                               block_eval=self._block_eval,
                               cycled_directions=cycled,
                               record_keep=self._record_keep,
-                              full_x_records=bool(self.cl_bounds_records))
+                              full_x_records=bool(self.cl_bounds_records)),
+                self._consts,
             )
 
     def _direction_xs(self, schedule: np.ndarray, cycler=None) -> tuple:
@@ -1092,7 +1108,10 @@ class MCMC(CovmatSampler):
         x = jnp.asarray(data["x"], self._dtype)
         cache = ()
         if self._full_eval is not None:
-            cache = jax.jit(jax.vmap(self._full_eval))(x)[4]
+            from ...ops import hoist as hoist_ops
+
+            cache = hoist_ops.jit_with_consts(
+                jax.vmap(self._full_eval), self._consts)(x)[4]
         key_data = jnp.asarray(data["key"])
         if key_data.ndim > 1:
             # legacy per-walker key vectors: keep the first walker's stream

@@ -256,7 +256,12 @@ class Minimize(CovmatSampler):
                 reps = np.resize(np.arange(len(x0)), n_pad)
                 x0j = x0j[jnp.asarray(reps)]
             x0j = jax.device_put(x0j, chain_sharding(self._mesh))
-        xs, fs, nits = jax.jit(jax.vmap(solve_one))(x0j)
+        from ...ops import hoist as hoist_ops
+
+        consts = hoist_ops.device_consts(hoist_ops.collect(
+            self.model.make_logposterior_fn(), np.zeros(self.d)))
+        xs, fs, nits = hoist_ops.jit_with_consts(
+            jax.vmap(solve_one), consts)(x0j)
         self._starts_sharding = getattr(xs, "sharding", None)
         # polish the best candidates at f64 precision on host
         xs, fs = np.asarray(xs, float), np.asarray(fs, float)

@@ -127,10 +127,16 @@ class Nested(Sampler):
 
         self._cube_to_x = cube_to_x
         self._loglike_u = loglike_u
-        self._loglike_batch = jax.jit(
-            jax.vmap(lambda u: loglike_u(u)[0])
+        # static data tables ride as jit arguments, not HLO constants
+        from ...ops import hoist as hoist_ops
+
+        self._consts = hoist_ops.device_consts(hoist_ops.collect(
+            logpost_fn, np.zeros(self.d)))
+        self._loglike_batch = hoist_ops.jit_with_consts(
+            jax.vmap(lambda u: loglike_u(u)[0]), self._consts
         )
-        self._decorate_batch = jax.jit(jax.vmap(lambda u: loglike_u(u)))
+        self._decorate_batch = hoist_ops.jit_with_consts(
+            jax.vmap(lambda u: loglike_u(u)), self._consts)
         # --- speed grades (PolyChord grade_dims/grade_frac capability) --------
         # with a fast/slow hierarchy, slice passes are split per block and
         # fast passes reuse the cached slow-component results per live point
@@ -164,7 +170,8 @@ class Nested(Sampler):
         else:
             self._full_eval = self._block_eval = None
             self._repeats_plan = [(0, self._num_repeats)]
-        self._generation = jax.jit(self._make_generation())
+        self._generation = hoist_ops.jit_with_consts(
+            self._make_generation(), self._consts)
         self.logZ = -np.inf
         self.logZstd = np.inf
         self._n_evals = 0
@@ -358,7 +365,10 @@ class Nested(Sampler):
         def full(u):
             return self._full_eval(cube_to_x(u))[4]
 
-        return jax.jit(jax.vmap(full))(u_live)
+        from ...ops import hoist as hoist_ops
+
+        return hoist_ops.jit_with_consts(
+            jax.vmap(full), self._consts)(u_live)
 
     # ------------------------------------------------------------------
     def run(self):

@@ -78,6 +78,11 @@ class TracedCosmoProducts:
     def get_param(self, name: str):
         import jax.numpy as jnp
 
+        # input params first, as Provider.get_param does (theory.py:447 of
+        # the reference): a sampled/input param needs no provider
+        inputs = self._pp.get("__input__") or {}
+        if name in inputs:
+            return jnp.asarray(inputs[name])
         comp, prods = self._prov(name)
         if name in prods:
             return jnp.asarray(prods[name])

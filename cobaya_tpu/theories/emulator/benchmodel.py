@@ -133,7 +133,9 @@ def make_datasets(root: str, pliklite_lmax: int = 2508,
     if not os.path.exists(plik_ini):
         plik_ini = md.make_pliklite_dataset(
             plik_dir, lmin=30, lmax=pliklite_lmax)
-    cams_dir = os.path.join(root, f"camspec_l{camspec_lmax}")
+    # "v2": diagonal-vector covariance format (covmat_fiducial_diag) — a
+    # cached pre-v2 directory would resurrect the ~1.1 GB dense binary
+    cams_dir = os.path.join(root, f"camspec_l{camspec_lmax}v2")
     cams_ini = os.path.join(cams_dir, "camspec_synthetic.dataset")
     if not os.path.exists(cams_ini):
         cams_ini = md.make_camspec_dataset(

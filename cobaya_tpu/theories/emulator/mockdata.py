@@ -201,13 +201,17 @@ def make_camspec_dataset(path: str, fiducial: dict | None = None,
     np.savetxt(os.path.join(path, "spectra.dat"), spectra)
     n_per = lmax - lmin + 1
     nX = 6 * n_per
-    # placeholder cov of the right size so the class initializes
-    np.eye(nX, dtype=np.float64).tofile(os.path.join(path, "cov64.bin"))
+    # Knox noise is uncorrelated across (ell, spectrum): store the
+    # covariance as its diagonal (a length-nX vector) — the dense nX x nX
+    # binary the released data uses would be ~1.1 GB at full ell range,
+    # all zeros off-diagonal (placeholder ones so the class initializes;
+    # overwritten with the real variances below)
+    np.savetxt(os.path.join(path, "covdiag.dat"), np.ones(nX))
     ini = os.path.join(path, "camspec_synthetic.dataset")
     with open(ini, "w") as f:
         f.write(
             "cl_hat_file = spectra.dat\ndata_ranges = ranges.dat\n"
-            "covmat_fiducial = cov64.bin\n"
+            "covmat_fiducial_diag = covdiag.dat\n"
             "sz143file = sz143.dat\nkszfile = ksz.dat\n"
             "tszxcibfile = tszxcib.dat\ncib217file = cib217.dat\n"
             "dust100file = dust100.dat\ndust143file = dust143.dat\n"
@@ -248,10 +252,8 @@ def make_camspec_dataset(path: str, fiducial: dict | None = None,
         np.maximum(var, 1e-30))
     spectra[:2] = 0.0
     np.savetxt(os.path.join(path, "spectra.dat"), spectra)
-    cov = np.zeros((nX, nX))
     diag = np.concatenate([var[lmin:lmax + 1, i] for i in range(6)])
-    np.fill_diagonal(cov, np.maximum(diag, 1e-30))
-    cov.tofile(os.path.join(path, "cov64.bin"))
+    np.savetxt(os.path.join(path, "covdiag.dat"), np.maximum(diag, 1e-30))
     return ini
 
 

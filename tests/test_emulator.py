@@ -256,7 +256,7 @@ def test_flagship_covmat_roundtrip(tmp_path, monkeypatch):
                                                   script)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    harvest = mod.main
+    harvest = mod.from_npz
 
     names = bm.sampled_names()
     d = len(names)

@@ -539,3 +539,56 @@ def test_lowE_traced_matches_eager(tmp_path):
     }
     model, traced, eager = assert_traced_matches_eager(info, [1.02, 0.99])
     assert list(model.likelihood.values())[0].jittable is True
+
+
+# ---------------------------------------------------------------------------
+# H0 (traced: theory param arrives as input param or provider product)
+# ---------------------------------------------------------------------------
+def test_h0_traced_sampled_param():
+    """H0 sampled directly: the traced path reads it from the input params
+    (Provider.get_param's input fallback, reference theory.py:447)."""
+    info = {
+        "params": {
+            "ombh2": 0.02237, "omch2": 0.12, "tau": 0.0544, "logA": 3.044,
+            "ns": 0.9649,
+            "H0": {"prior": {"min": 55.0, "max": 80.0}, "ref": 67.36},
+        },
+        "theory": {"emulator": {"lmax": 64}},
+        "likelihood": {"h0": {
+            "class": "cobaya_tpu.likelihoods.base_classes.H0",
+            "H0_mean": 73.04, "H0_std": 1.04,
+        }},
+    }
+    model, traced, eager = assert_traced_matches_eager(info, [70.0])
+    like = model.likelihood["h0"]
+    assert like.jittable is True
+    # the Gaussian has an exact analytic gradient through the traced path
+    import jax.numpy as jnp
+
+    fn = model.make_logposterior_fn()
+    g = float(jax.grad(lambda x: fn(x)[0])(jnp.asarray([70.0]))[0])
+    assert np.isclose(g, (73.04 - 70.0) / 1.04**2 + 0.0, rtol=1e-4)
+
+
+def test_h0_traced_from_provider_product():
+    """H0 provided by a (host-callback) theory as a derived product."""
+
+    class H0Theory(HostBoltz):
+        params = {"H0": None}
+
+        def calculate(self, state, want_derived=True, **p):
+            super().calculate(state, want_derived, **p)
+            state["derived"] = {"H0": 10.0 + 600.0 * p.get("H0val", 0.1)}
+
+    info = {
+        "theory": {"mock": {"external": H0Theory}},
+        "likelihood": {"h0": {
+            "class": "cobaya_tpu.likelihoods.base_classes.H0",
+            "H0_mean": 73.04, "H0_std": 1.04,
+        }},
+        "params": {
+            "H0val": {"prior": [0.05, 0.2], "ref": 0.1},
+            "H0": {"derived": True},
+        },
+    }
+    assert_traced_matches_eager(info, [0.1])
