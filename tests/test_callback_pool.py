@@ -160,8 +160,9 @@ def test_measured_speed_includes_pool_amortization():
     model2 = get_model(info_serial)
     model2.measure_and_set_speeds(n=3, random_state=0)
     serial_speed = model2.components[0].get_speed()
-    # ~8x per-walker speed with pool=8 (sleep dominates the timing).  The
-    # sleeps overlap even on one core, but scheduler noise under a loaded
-    # single-CPU CI box can eat much of the margin — assert the direction
-    # (>2x) rather than the ideal ratio.
+    # ~8x per-walker speed with pool=8: measure_and_set_speeds times
+    # single-point evals and divides the average by the pool size
+    # analytically (model.py), so the ratio is arithmetic — the margin
+    # below the ideal 8x only absorbs timing-overhead noise around the
+    # dominant sleep, not concurrency effects.
     assert pooled_speed / serial_speed > 2
