@@ -239,7 +239,7 @@ def merge_params_info(base: Mapping, update: Mapping) -> dict:
 
 _IGNORE_AT_RESUME = {
     "debug", "resume", "force", "output", "test", "timing", "version",
-    "packages_path", "stop_at_error",
+    "packages_path", "stop_at_error", "matmul_precision",
 }
 
 

@@ -120,6 +120,7 @@ class Model(HasLogger):
         post: bool = False,
         skip_unused_theories: bool = False,
         dropped_theory_params: Sequence[str] | None = None,
+        matmul_precision: str | None = "highest",
     ):
         self.set_logger("model")
         self._updated_info: InputDict = {
@@ -163,6 +164,16 @@ class Model(HasLogger):
         }
         self._measured_speeds: dict[str, float] | None = None
         self._jitted_logposterior_fn = None
+        # Matmul precision for traced posterior programs.  On TPU, float32
+        # matmuls default to fast bfloat16 MXU passes; a batched (vmapped)
+        # likelihood then loses ~3 decimal digits per contraction, which for
+        # chi^2 magnitudes of O(10^4) corrupts logp by O(10^2) — the sampler
+        # explores numerical-error terrain instead of the posterior (observed:
+        # flagship logp off by 253 at the truth point, R-1 stuck at ~10^4).
+        # Metropolis/HMC accept decisions resolve O(1) logp differences, so
+        # posterior evaluation must run the MXU in full-f32 ("highest",
+        # 6-pass) mode; proposal/moment matmuls elsewhere keep the default.
+        self.matmul_precision = matmul_precision
 
     # ------------------------------------------------------------------
     # parameter assignment (reference model.py:1115; spec DEVEL.rst:94-160)
@@ -768,7 +779,15 @@ class Model(HasLogger):
         aggr = dict(self._aggr_chi2_names)
         n_ext = len(self.prior.external)
 
+        precision = self.matmul_precision
+
         def fn(x):
+            if precision:
+                with jax.default_matmul_precision(precision):
+                    return body(x)
+            return body(x)
+
+        def body(x):
             x = jnp.asarray(x)
             logprior0 = self.prior.logps_internal_jax(x)
             x_safe = jnp.clip(x, jnp.asarray(lo, x.dtype), jnp.asarray(hi, x.dtype)) \
@@ -874,7 +893,17 @@ class Model(HasLogger):
         aggr = dict(self._aggr_chi2_names)
         steps = [self._component_jax_step(c) for c in comp_order]
 
+        precision = self.matmul_precision
+
         def _eval(x, cache, recompute_idx):
+            # full-f32 MXU passes: logp errors of O(1) flip accept decisions
+            # (see Model.__init__ matmul_precision note)
+            if precision:
+                with jax.default_matmul_precision(precision):
+                    return _eval_body(x, cache, recompute_idx)
+            return _eval_body(x, cache, recompute_idx)
+
+        def _eval_body(x, cache, recompute_idx):
             x = jnp.asarray(x)
             logprior0 = self.prior.logps_internal_jax(x)
             x_safe = jnp.clip(x, jnp.asarray(lo, x.dtype),
@@ -1324,4 +1353,5 @@ def get_model(
         packages_path=updated.get("packages_path"),
         timing=updated.get("timing"),
         stop_at_error=bool(updated.get("stop_at_error", False)),
+        matmul_precision=updated.get("matmul_precision", "highest"),
     )

@@ -181,6 +181,7 @@ def post(info_or_yaml_or_file, sample=None):
         packages_path=info.get("packages_path"),
         post=True, skip_unused_theories=True,
         dropped_theory_params=None,
+        matmul_precision=info.get("matmul_precision", "highest"),
     )
     add_like_names = [n for n in model_add.like_names if n != "one"]
     add_prior_names = [n for n in model_add.prior.names if n != "0"]

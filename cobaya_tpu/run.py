@@ -80,6 +80,7 @@ def run(
         packages_path=updated_info.get("packages_path"),
         timing=updated_info.get("timing"),
         stop_at_error=bool(updated_info.get("stop_at_error", False)),
+        matmul_precision=updated_info.get("matmul_precision", "highest"),
     )
     sampler = get_sampler(
         updated_info["sampler"], model, out,

@@ -57,7 +57,7 @@ class Extension:
 reserved_attributes = {
     "params", "likelihood", "theory", "prior", "sampler", "output",
     "packages_path", "debug", "resume", "force", "test", "timing",
-    "stop_at_error", "version", "post",
+    "stop_at_error", "version", "post", "matmul_precision",
 }
 
 # packages-path subfolders

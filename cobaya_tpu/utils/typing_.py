@@ -58,6 +58,7 @@ class InputDict(TypedDict, total=False):
     stop_at_error: bool
     seed: Optional[int]
     version: Optional[str]
+    matmul_precision: Optional[str]
 
 
 class PostDict(TypedDict, total=False):
