@@ -124,6 +124,10 @@ def build_cosmo_info(n_chains: int):
         "records_per_epoch": 64,
         "fetch_chains": 8,
         "max_samples": 400000,
+        # convergence is gated by the slowest of 8k dispersed walkers;
+        # the ensemble remix move (exact MH, ops/remix.py) teleports
+        # stragglers instead of waiting out their random-walk burn-in
+        "ensemble_remix": True,
         # wall-clock budget: an unconverged run reports converged=false
         # instead of sampling for hours
         "max_wall": 2700,
@@ -240,7 +244,8 @@ def run_one(kind: str, dim: int, n_chains: int,
         print(f"[bench] extrapolation check failed: {exc}", file=sys.stderr)
     if is_cosmo:
         algo = ("HMC kernel (exact XLA gradients through the theory)"
-                if is_hmc else "adaptive blocked Metropolis")
+                if is_hmc else
+                "adaptive blocked Metropolis + ensemble remix")
         metric = (f"ESS/sec, {dim}-param Planck-like cosmology "
                   "(device Boltzmann surrogate + plik-lite + CamSpec FG + "
                   f"BAO + SN), {algo}, to R-1<0.01")

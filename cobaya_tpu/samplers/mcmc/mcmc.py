@@ -105,6 +105,9 @@ class MCMC(CovmatSampler):
     fetch_chains: Optional[int]
     pipeline_epochs: bool
     precision: str
+    ensemble_remix: bool
+    remix_every: int
+    remix_inflate: float
     # deprecated reference options (accepted with a warning)
     check_every: Optional[Union[int, str]]
     oversample: Optional[Any]
@@ -116,6 +119,7 @@ class MCMC(CovmatSampler):
         "max_samples", "max_wall", "max_tries", "output_every", "learn_every",
         "callback_function", "callback_every", "Rminus1_stop",
         "Rminus1_cl_stop", "Rminus1_cl_level", "learn_proposal",
+        "ensemble_remix", "remix_every", "remix_inflate",
     ]
     _at_resume_prefer_old = ["proposal_scale", "blocking", "covmat",
                              "temperature", "n_chains"]
@@ -555,6 +559,20 @@ class MCMC(CovmatSampler):
                               full_x_records=bool(self.cl_bounds_records)),
                 self._consts,
             )
+        self._remix_fn = None
+        if self.ensemble_remix:
+            if self.n_chains < 4:
+                self.mpi_warning(
+                    "ensemble_remix requires >= 4 walkers; disabled.")
+            else:
+                from ...ops.remix import make_remix_fn
+
+                self._remix_fn = hoist_ops.jit_with_consts(make_remix_fn(
+                    self._logpost_fn, full_eval=self._full_eval,
+                    temperature=self.temperature,
+                    inflate=self.remix_inflate,
+                    matmul_precision=self.model.matmul_precision,
+                ), self._consts)
 
     def _direction_xs(self, schedule: np.ndarray, cycler=None) -> tuple:
         """Per-step cycled SO(n) directions as extra scan inputs
@@ -641,6 +659,7 @@ class MCMC(CovmatSampler):
         pending = None
         t_loop0 = time.time()
         hit_wall = False
+        n_epochs = 0
         while not self.converged and self.n_steps < self.max_samples:
             # at least one epoch always runs, so a too-small budget still
             # yields a usable (if unconverged) sample
@@ -650,12 +669,20 @@ class MCMC(CovmatSampler):
                 break
             current = pending or self._dispatch_epoch(self._learn_every)
             pending = None
-            if pipelined and (
+            # a due remix must own the carry: skip speculation that epoch
+            remix_next = (
+                self._remix_fn is not None and self.remix_every
+                and (n_epochs + 1) % self.remix_every == 0
+            )
+            if pipelined and not remix_next and (
                 self.n_steps + 2 * current["total"] <= self.max_samples
             ):
                 pending = self._dispatch_epoch(self._learn_every)
             self._collect_epoch(current)
+            n_epochs += 1
             self._check_convergence_and_learn_proposal()
+            if remix_next and not self.converged and pending is None:
+                self._apply_remix()
             self._write_checkpoint()
             if self.callback_function and self.callback_every and (
                 len(self._progress) % self.callback_every == 0
@@ -693,6 +720,18 @@ class MCMC(CovmatSampler):
                                        + t["fetch"], 1e-9),
             )
         self._flush_output(final=True)
+
+    def _apply_remix(self):
+        """One ensemble independence-remix move (ops/remix.py).
+
+        Exact MH on the product chain; dispatched asynchronously — the
+        acceptance fraction is only fetched (device sync) in debug mode.
+        """
+        carry, acc = self._remix_fn(self._carry)
+        self._carry = carry
+        if self.is_debug():
+            self.log.debug("Ensemble remix: %.1f%% of walkers moved",
+                           100.0 * float(acc))
 
     def _dispatch_epoch(self, n_steps: int, record: bool = True) -> dict:
         """Dispatch one epoch + its on-device statistics (non-blocking).
