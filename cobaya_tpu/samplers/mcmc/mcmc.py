@@ -659,7 +659,25 @@ class MCMC(CovmatSampler):
         pending = None
         t_loop0 = time.time()
         hit_wall = False
-        n_epochs = 0
+        n_dispatched = 0
+
+        def remix_due(i_epoch: int) -> bool:
+            return bool(self._remix_fn is not None and self.remix_every
+                        and i_epoch % self.remix_every == 0)
+
+        def dispatch_next():
+            # the remix rides the dispatch: an async device call chained in
+            # front of the epoch program, so pipelined speculation keeps the
+            # device busy through remix epochs (no host round-trip; in
+            # pipelined mode the move lags the stats by one epoch, exactly
+            # like proposal updates — validity is unaffected since the
+            # remix kernel does not depend on the collected stats)
+            nonlocal n_dispatched
+            n_dispatched += 1
+            if remix_due(n_dispatched):
+                self._apply_remix()
+            return self._dispatch_epoch(self._learn_every)
+
         while not self.converged and self.n_steps < self.max_samples:
             # at least one epoch always runs, so a too-small budget still
             # yields a usable (if unconverged) sample
@@ -667,22 +685,14 @@ class MCMC(CovmatSampler):
                     and time.time() - t_loop0 > self.max_wall):
                 hit_wall = True
                 break
-            current = pending or self._dispatch_epoch(self._learn_every)
+            current = pending or dispatch_next()
             pending = None
-            # a due remix must own the carry: skip speculation that epoch
-            remix_next = (
-                self._remix_fn is not None and self.remix_every
-                and (n_epochs + 1) % self.remix_every == 0
-            )
-            if pipelined and not remix_next and (
+            if pipelined and (
                 self.n_steps + 2 * current["total"] <= self.max_samples
             ):
-                pending = self._dispatch_epoch(self._learn_every)
+                pending = dispatch_next()
             self._collect_epoch(current)
-            n_epochs += 1
             self._check_convergence_and_learn_proposal()
-            if remix_next and not self.converged and pending is None:
-                self._apply_remix()
             self._write_checkpoint()
             if self.callback_function and self.callback_every and (
                 len(self._progress) % self.callback_every == 0
