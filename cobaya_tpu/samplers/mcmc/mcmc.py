@@ -288,6 +288,7 @@ class MCMC(CovmatSampler):
             self.cl_bounds_records = 0
         self._epoch_wrap = wrap
         self._build_epoch_fn(wrap, blocks)
+        self._build_remix_fn()
         self._setup_tlog("epoch_fn built")
         # on-device epoch diagnostics: everything the host needs, tiny.
         # (the tunnel-TPU backend moves data at ~0.5 MB/s, so cross-chain
@@ -559,6 +560,17 @@ class MCMC(CovmatSampler):
                               full_x_records=bool(self.cl_bounds_records)),
                 self._consts,
             )
+
+    def _build_remix_fn(self):
+        """Construct the jitted ensemble-remix kernel (ops/remix.py).
+
+        Kernel-independent: the remix move is an exact MH update on the
+        shared ``MCMCCarry``, so it composes with any epoch kernel
+        (plain Metropolis, dragging, HMC) — built here, outside
+        ``_build_epoch_fn``, so kernel subclasses inherit it.
+        """
+        from ...ops import hoist as hoist_ops
+
         self._remix_fn = None
         if self.ensemble_remix:
             if self.n_chains < 4:

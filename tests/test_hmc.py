@@ -50,3 +50,22 @@ def test_hmc_rejects_callback_models():
     }
     with pytest.raises(LoggedError):
         run(info)
+
+
+def test_hmc_with_ensemble_remix():
+    """The remix move is kernel-independent (exact MH on the shared carry):
+    it must compose with the HMC epoch kernel. Regression: HMC's
+    _build_epoch_fn override used to skip the remix construction entirely,
+    leaving _remix_fn unset (AttributeError at the first epoch dispatch)."""
+    info = random_gaussian_info(dim=3, random_state=47)
+    info["sampler"] = {"hmc": {"seed": 9, "n_chains": 32,
+                               "leapfrog_steps": 6,
+                               "learn_every": 90,
+                               "max_samples": 4000,
+                               "ensemble_remix": True,
+                               "Rminus1_cl_stop": 0.5}}
+    _, sampler = run(info)
+    assert sampler._remix_fn is not None
+    assert sampler.converged
+    kl = check_gaussian(info, sampler.products(skip_samples=0.5)["sample"])
+    assert kl < 0.07
