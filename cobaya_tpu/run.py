@@ -69,41 +69,53 @@ def run(
         resume=bool(info.get("resume")) or bool(minimize),
         force=bool(info.get("force")),
     )
-    updated_info = update_info(info)
-    if out:
-        out.check_and_dump_info(info, updated_info, ignore_blocks=["sampler"])
-    model = Model(
-        updated_info.get("params") or {},
-        updated_info.get("likelihood") or {},
-        info_prior=updated_info.get("prior"),
-        info_theory=updated_info.get("theory"),
-        packages_path=updated_info.get("packages_path"),
-        timing=updated_info.get("timing"),
-        stop_at_error=bool(updated_info.get("stop_at_error", False)),
-        matmul_precision=updated_info.get("matmul_precision", "highest"),
-    )
-    sampler = get_sampler(
-        updated_info["sampler"], model, out,
-        packages_path=updated_info.get("packages_path"),
-    )
-    # re-dump with the sampler's resolved options
-    name = list(updated_info["sampler"])[0]
-    updated_info["sampler"][name] = sampler._input_options | {
-        k: getattr(sampler, k)
-        for k in sampler.get_defaults(input_options={})
-        if hasattr(sampler, k) and not callable(getattr(sampler, k))
-    }
-    if out:
-        out.check_and_dump_info(None, updated_info, check_compatible=False)
-    if info.get("test"):
-        log.info("Test initialization successful! "
-                 "You can probably run this input.")
-        return InfoSamplerTuple(updated_info, sampler)
-    # cross-process error propagation: one process's failure aborts its
-    # peers at their next sync point instead of deadlocking them
-    # (reference mpi.py:350-467)
-    with pstate.ProcessState("sampler.run"):
-        sampler.run()
+    try:
+        updated_info = update_info(info)
+        if out:
+            # allow_changes skips the resume-consistency diff (reference
+            # run.py:129: check_compatible=not allow_changes)
+            out.check_and_dump_info(info, updated_info,
+                                    ignore_blocks=["sampler"],
+                                    check_compatible=not allow_changes)
+        model = Model(
+            updated_info.get("params") or {},
+            updated_info.get("likelihood") or {},
+            info_prior=updated_info.get("prior"),
+            info_theory=updated_info.get("theory"),
+            packages_path=updated_info.get("packages_path"),
+            timing=updated_info.get("timing"),
+            stop_at_error=bool(updated_info.get("stop_at_error", False)),
+            matmul_precision=updated_info.get("matmul_precision", "highest"),
+        )
+        sampler = get_sampler(
+            updated_info["sampler"], model, out,
+            packages_path=updated_info.get("packages_path"),
+        )
+        # re-dump with the sampler's resolved options
+        name = list(updated_info["sampler"])[0]
+        updated_info["sampler"][name] = sampler._input_options | {
+            k: getattr(sampler, k)
+            for k in sampler.get_defaults(input_options={})
+            if hasattr(sampler, k) and not callable(getattr(sampler, k))
+        }
+        if out:
+            out.check_and_dump_info(None, updated_info,
+                                    check_compatible=False)
+        if info.get("test"):
+            log.info("Test initialization successful! "
+                     "You can probably run this input.")
+            return InfoSamplerTuple(updated_info, sampler)
+        # cross-process error propagation: one process's failure aborts its
+        # peers at their next sync point instead of deadlocking them
+        # (reference mpi.py:350-467)
+        with pstate.ProcessState("sampler.run"):
+            sampler.run()
+    except BaseException:
+        # a failed run must not leave the output prefix locked: the user
+        # retries (e.g. after an incompatible-resume error) immediately
+        if out:
+            out.close()
+        raise
     if out:
         out.close()
     return InfoSamplerTuple(updated_info, sampler)
@@ -117,10 +129,18 @@ def run_script(args=None):
     parser.add_argument("-p", "--packages-path", default=None)
     parser.add_argument("-o", "--output", default=None)
     parser.add_argument("-d", "--debug", action="store_true", default=None)
-    parser.add_argument("-r", "--resume", action="store_true")
-    parser.add_argument("-f", "--force", action="store_true")
-    parser.add_argument("--minimize", action="store_true", default=None)
+    continuation = parser.add_mutually_exclusive_group(required=False)
+    continuation.add_argument("-r", "--resume", action="store_true")
+    continuation.add_argument("-f", "--force", action="store_true")
+    parser.add_argument("-M", "--minimize", action="store_true", default=None)
     parser.add_argument("--test", action="store_true", default=None)
+    parser.add_argument(
+        "--allow-changes", action="store_true",
+        help="Allow changing input parameters when resuming or minimizing, "
+             "skipping consistency checks (reference run.py --allow-changes)")
+    parser.add_argument(
+        "--no-mpi", action="store_true",
+        help="Disable multi-process coordination (single-process run)")
     from . import __version__
 
     parser.add_argument("--version", action="version", version=__version__)
@@ -134,6 +154,7 @@ def run_script(args=None):
         packages_path=ns.packages_path, output=ns.output,
         debug=ns.debug, resume=ns.resume, force=ns.force,
         minimize=ns.minimize, test=ns.test,
+        allow_changes=ns.allow_changes, no_mpi=ns.no_mpi,
     )
 
 

@@ -76,6 +76,27 @@ def test_mcmc_output_and_resume(tmp_path):
     assert sampler2.n_steps > n_first
 
 
+def test_mcmc_resume_allow_changes(tmp_path):
+    """--allow-changes skips the resume-consistency diff (ref run.py:129)."""
+    prefix = str(tmp_path / "chains" / "gac")
+    info = random_gaussian_info(dim=2, random_state=23)
+    info["output"] = prefix
+    info["sampler"] = {"mcmc": {"seed": 7, "n_chains": 16,
+                                "max_samples": 100}}
+    run(info)
+    # change a param prior: incompatible resume must fail...
+    name = next(iter(info["params"]))
+    info["params"][name]["prior"] = {"min": -20, "max": 20}
+    info["sampler"]["mcmc"]["max_samples"] = 200
+    from cobaya_tpu.utils.log import LoggedError
+
+    with pytest.raises(LoggedError):
+        run(info, resume=True)
+    # ...unless changes are explicitly allowed
+    _, sampler = run(info, resume=True, allow_changes=True)
+    assert sampler.n_steps > 0
+
+
 def test_mcmc_force_overwrites(tmp_path):
     prefix = str(tmp_path / "chains" / "g2")
     info = random_gaussian_info(dim=2, random_state=17)
