@@ -73,6 +73,13 @@ def run_command():
     command, args = sys.argv[1], sys.argv[2:]
     handler = commands.get(command)
     if handler is None:
+        # `python -m cobaya_tpu input.yaml` == `... run input.yaml`
+        # (reference __main__.py:44: no command -> assume run)
+        if command.endswith((".yaml", ".yml")) or "/" in command:
+            from .run import run_script
+
+            run_script(sys.argv[1:])
+            return
         print(f"Unknown command '{command}'. Available: "
               + ", ".join(commands))
         sys.exit(1)

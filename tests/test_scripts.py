@@ -54,6 +54,16 @@ def test_cli_run(tmp_path):
     assert result.returncode == 0, result.stdout + result.stderr
 
 
+def test_cli_bare_input_file(tmp_path):
+    """`python -m cobaya_tpu input.yaml` implies `run` (ref __main__.py:44)."""
+    prefix = str(tmp_path / "chains" / "b")
+    infile = tmp_path / "bare.yaml"
+    infile.write_text(YAML.format(prefix=prefix))
+    result = _run([str(infile)])
+    assert result.returncode == 0, result.stdout + result.stderr
+    assert os.path.exists(prefix + ".1.txt")
+
+
 def test_cli_run_test_flag(tmp_path):
     prefix = str(tmp_path / "chains" / "t")
     infile = tmp_path / "in.yaml"
