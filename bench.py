@@ -349,27 +349,63 @@ def main():
              " all (default): every row")
     parser.add_argument("--max-samples", type=int, default=None,
                         help="cap steps/walker (smoke tests)")
+    parser.add_argument("--emit-row", default=None, metavar="PATH",
+                        help="(internal) write the single row's JSON to PATH")
+    parser.add_argument("--in-process", action="store_true",
+                        help="run rows in this process (no subprocess "
+                             "isolation; debugging)")
     ns = parser.parse_args()
     kinds = {"both": ["mcmc", "hmc"],
              "all": ["mcmc", "hmc", "cosmo", "cosmo-hmc"]}.get(
                  ns.sampler, [ns.sampler])
+    if ns.emit_row or (ns.in_process and len(kinds) == 1):
+        row = run_one(kinds[0], ns.dim, ns.n_chains,
+                      max_samples=ns.max_samples)
+        if ns.emit_row:
+            with open(ns.emit_row, "w") as f:
+                json.dump(row, f)
+            return
+        print(json.dumps({"metric": row["metric"], "value": row["value"],
+                          "unit": row["unit"],
+                          "vs_baseline": row["vs_baseline"],
+                          "rows": [row]}))
+        return
+    # Each row runs in its own subprocess: a device/compile fault in one
+    # row (e.g. the remote-compile service dropping the connection mid-way)
+    # leaves the in-process TPU client unusable, so retries and later rows
+    # need a fresh process to get a fresh backend.
+    import subprocess
+    import tempfile
+
     rows = []
     for k in kinds:
         for attempt in (1, 2):
+            with tempfile.NamedTemporaryFile(suffix=".json",
+                                             delete=False) as tmp:
+                row_path = tmp.name
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--sampler", k, "--n-chains", str(ns.n_chains),
+                   "--dim", str(ns.dim), "--emit-row", row_path]
+            if ns.max_samples:
+                cmd += ["--max-samples", str(ns.max_samples)]
+            proc = subprocess.run(cmd, stdout=sys.stderr)
             try:
-                rows.append(run_one(k, ns.dim, ns.n_chains,
-                                    max_samples=ns.max_samples))
-                break
-            except Exception as exc:  # one bad row must not kill the report
-                print(f"[bench] {k} row FAILED: {type(exc).__name__}: {exc}",
-                      file=sys.stderr)
-                transient = "UNAVAILABLE" in str(exc)
-                if attempt == 2 or not transient:
-                    if len(kinds) == 1:
-                        raise
+                if proc.returncode == 0:
+                    with open(row_path) as f:
+                        rows.append(json.load(f))
+                    os.remove(row_path)
                     break
-                print(f"[bench] retrying {k} once (transient device error)",
+                print(f"[bench] {k} row FAILED (subprocess exit "
+                      f"{proc.returncode})", file=sys.stderr)
+                if attempt == 2:
+                    if len(kinds) == 1:
+                        raise RuntimeError(f"{k} row failed twice")
+                    break
+                print(f"[bench] retrying {k} once in a fresh process",
                       file=sys.stderr)
+            finally:
+                if os.path.exists(row_path):
+                    os.remove(row_path)
     if not rows:
         raise RuntimeError("all bench rows failed")
     # ONE JSON line for the driver: the headline is the fastest row (HMC),
