@@ -54,6 +54,10 @@ def build_info(dim=50, n_chains=1024):
                 "Rminus1_stop": 0.01,
                 # match the baseline-measurement conditions (CL test off)
                 "Rminus1_cl_stop": 1e6,
+                # nested R-1 over 64 superchains (shared-start groups):
+                # removes the tau/n per-walker estimator floor that would
+                # otherwise gate the stop long after mixing (mcmc.yaml)
+                "Rminus1_n_groups": 64,
                 "learn_every": "40d",
                 "records_per_epoch": 64,
                 # tunnel-TPU link moves ~0.5 MB/s: fetch a walker subsample
@@ -120,6 +124,10 @@ def build_cosmo_info(n_chains: int):
         "covmat_params": covmat_params,
         "Rminus1_stop": 0.01,
         "Rminus1_cl_stop": 1e6,
+        # nested R-1 (see build_info): without grouping the per-walker
+        # estimator floor tau/n demands ~87 epochs (~25 min) even after
+        # the ensemble has mixed (round-4 driver tail)
+        "Rminus1_n_groups": 64,
         "learn_every": "40d",
         "records_per_epoch": 64,
         "fetch_chains": 8,
@@ -129,7 +137,8 @@ def build_cosmo_info(n_chains: int):
         # stragglers instead of waiting out their random-walk burn-in
         "ensemble_remix": True,
         # wall-clock budget: an unconverged run reports converged=false
-        # instead of sampling for hours
+        # instead of sampling for hours (the parent harness narrows this
+        # to the remaining driver budget via --max-wall)
         "max_wall": 2700,
     }}
     return info, bm
@@ -172,7 +181,8 @@ def epoch_flops(sampler):
 
 def run_one(kind: str, dim: int, n_chains: int,
             validate_walkers: int = 512,
-            max_samples: int | None = None) -> dict:
+            max_samples: int | None = None,
+            max_wall: float | None = None) -> dict:
     """Run one sampler to convergence; return a labeled result row."""
     import jax
 
@@ -195,6 +205,13 @@ def run_one(kind: str, dim: int, n_chains: int,
         info, cov = build_info(dim=dim, n_chains=n_chains)
     if max_samples:  # smoke-test override
         next(iter(info["sampler"].values()))["max_samples"] = max_samples
+    if max_wall:
+        # the parent harness narrows each row's sampling wall to what fits
+        # in the remaining driver budget; an unconverged row reports
+        # converged=false honestly instead of losing the whole artifact
+        opts = next(iter(info["sampler"].values()))
+        opts["max_wall"] = (min(opts["max_wall"], max_wall)
+                            if opts.get("max_wall") else max_wall)
     if is_hmc:
         opts = info["sampler"].pop("mcmc")
         opts.pop("oversample_power", None)
@@ -330,6 +347,56 @@ def run_one(kind: str, dim: int, n_chains: int,
     return row
 
 
+# Rows ordered fastest-converging first, so a driver-side timeout costs the
+# slowest row, never the artifact.  Setup estimates are per-kind wall costs
+# (model build + jit compile/cache load + warmup) measured on the tunnel-TPU
+# driver environment; env-overridable for other deployments.
+ROW_ORDER = ["hmc", "mcmc", "cosmo-hmc", "cosmo"]
+SETUP_EST_S = {"hmc": 480.0, "mcmc": 480.0, "cosmo-hmc": 750.0,
+               "cosmo": 750.0}
+MIN_SAMPLE_S = 60.0  # a row needs at least this much timed sampling
+
+
+def _setup_estimate(kind: str) -> float:
+    env = os.environ.get(f"BENCH_SETUP_EST_{kind.replace('-', '_').upper()}")
+    return float(env) if env else SETUP_EST_S[kind]
+
+
+def _cache_entries() -> int:
+    d = os.environ["JAX_COMPILATION_CACHE_DIR"]
+    try:
+        return len(os.listdir(d))
+    except OSError:
+        return 0
+
+
+def _emit(rows: list, skipped: list, final: bool = False):
+    """Print the cumulative driver JSON line (last line on stdout wins) and
+    persist the rows to the repo dir for post-hoc inspection."""
+    partial_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_rows_partial.json")
+    try:
+        with open(partial_path, "w") as f:
+            json.dump({"rows": rows, "skipped": skipped,
+                       "final": final}, f, indent=1)
+    except OSError as exc:
+        print(f"[bench] could not write {partial_path}: {exc}",
+              file=sys.stderr)
+    if not rows:
+        return
+    head = max(rows, key=lambda r: r["value"])
+    result = {
+        "metric": head["metric"],
+        "value": head["value"],
+        "unit": head["unit"],
+        "vs_baseline": head["vs_baseline"],
+        "rows": rows,
+    }
+    if skipped:
+        result["skipped"] = skipped
+    print(json.dumps(result), flush=True)
+
+
 def main():
     import argparse
 
@@ -349,6 +416,14 @@ def main():
              " all (default): every row")
     parser.add_argument("--max-samples", type=int, default=None,
                         help="cap steps/walker (smoke tests)")
+    parser.add_argument("--max-wall", type=float, default=None,
+                        help="cap a row's sampling wall-clock (seconds)")
+    parser.add_argument("--budget", type=float,
+                        default=float(os.environ.get("BENCH_BUDGET_S",
+                                                     3300)),
+                        help="total wall budget for all rows (seconds); "
+                             "rows that cannot fit are skipped with a "
+                             "logged reason (env BENCH_BUDGET_S)")
     parser.add_argument("--emit-row", default=None, metavar="PATH",
                         help="(internal) write the single row's JSON to PATH")
     parser.add_argument("--in-process", action="store_true",
@@ -356,19 +431,47 @@ def main():
                              "isolation; debugging)")
     ns = parser.parse_args()
     kinds = {"both": ["mcmc", "hmc"],
-             "all": ["mcmc", "hmc", "cosmo", "cosmo-hmc"]}.get(
-                 ns.sampler, [ns.sampler])
+             "all": list(ROW_ORDER)}.get(ns.sampler, [ns.sampler])
+    kinds = sorted(kinds, key=ROW_ORDER.index)
     if ns.emit_row or (ns.in_process and len(kinds) == 1):
         row = run_one(kinds[0], ns.dim, ns.n_chains,
-                      max_samples=ns.max_samples)
+                      max_samples=ns.max_samples, max_wall=ns.max_wall)
         if ns.emit_row:
             with open(ns.emit_row, "w") as f:
                 json.dump(row, f)
             return
-        print(json.dumps({"metric": row["metric"], "value": row["value"],
-                          "unit": row["unit"],
-                          "vs_baseline": row["vs_baseline"],
-                          "rows": [row]}))
+        _emit([row], [])
+        return
+    t_start = time.time()
+    rows: list = []
+    skipped: list = []
+
+    def remaining() -> float:
+        return ns.budget - (time.time() - t_start)
+
+    if ns.in_process:
+        # debugging mode: same budget logic, no subprocess isolation
+        for k in kinds:
+            est = _setup_estimate(k)
+            if remaining() < est + MIN_SAMPLE_S:
+                skipped.append({"sampler": k, "reason":
+                                f"insufficient budget ({remaining():.0f}s "
+                                f"left; needs ~{est + MIN_SAMPLE_S:.0f}s)"})
+                continue
+            try:
+                rows.append(run_one(k, ns.dim, ns.n_chains,
+                                    max_samples=ns.max_samples,
+                                    max_wall=ns.max_wall
+                                    or max(remaining() - est - 30,
+                                           MIN_SAMPLE_S)))
+            except Exception as exc:
+                print(f"[bench] {k} row FAILED in-process: {exc}",
+                      file=sys.stderr)
+                skipped.append({"sampler": k, "reason": f"failed: {exc}"})
+            _emit(rows, skipped)
+        _emit(rows, skipped, final=True)
+        if not rows:
+            raise RuntimeError("all bench rows failed")
         return
     # Each row runs in its own subprocess: a device/compile fault in one
     # row (e.g. the remote-compile service dropping the connection mid-way)
@@ -377,48 +480,79 @@ def main():
     import subprocess
     import tempfile
 
-    rows = []
     for k in kinds:
-        for attempt in (1, 2):
+        attempts = 0
+        while True:
+            attempts += 1
+            est = _setup_estimate(k)
+            left = remaining()
+            if left < est + MIN_SAMPLE_S:
+                skipped.append({"sampler": k, "reason":
+                                f"insufficient budget ({left:.0f}s left; "
+                                f"needs ~{est + MIN_SAMPLE_S:.0f}s)"})
+                print(f"[bench] SKIP {k}: {skipped[-1]['reason']}",
+                      file=sys.stderr)
+                break
+            row_wall = ns.max_wall or max(left - est - 30, MIN_SAMPLE_S)
             with tempfile.NamedTemporaryFile(suffix=".json",
                                              delete=False) as tmp:
                 row_path = tmp.name
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--sampler", k, "--n-chains", str(ns.n_chains),
-                   "--dim", str(ns.dim), "--emit-row", row_path]
+                   "--dim", str(ns.dim), "--emit-row", row_path,
+                   "--max-wall", str(row_wall)]
             if ns.max_samples:
                 cmd += ["--max-samples", str(ns.max_samples)]
-            proc = subprocess.run(cmd, stdout=sys.stderr)
+            print(f"[bench] row {k}: {left:.0f}s budget left, sampling "
+                  f"wall capped at {row_wall:.0f}s", file=sys.stderr)
+            cache_before = _cache_entries()
+            t_row = time.time()
             try:
-                if proc.returncode == 0:
+                proc_rc = subprocess.run(
+                    cmd, stdout=sys.stderr,
+                    timeout=max(left - 15, 30)).returncode
+            except subprocess.TimeoutExpired:
+                proc_rc = "timeout"
+            row_elapsed = time.time() - t_row
+            row = None
+            if proc_rc == 0:
+                # a zero-exit child can still leave a bad row file (killed
+                # between write and flush, disk full): treat a parse
+                # failure like a row failure, never kill the report
+                try:
                     with open(row_path) as f:
-                        rows.append(json.load(f))
-                    os.remove(row_path)
-                    break
-                print(f"[bench] {k} row FAILED (subprocess exit "
-                      f"{proc.returncode})", file=sys.stderr)
-                if attempt == 2:
-                    if len(kinds) == 1:
-                        raise RuntimeError(f"{k} row failed twice")
-                    break
-                print(f"[bench] retrying {k} once in a fresh process",
-                      file=sys.stderr)
-            finally:
-                if os.path.exists(row_path):
-                    os.remove(row_path)
+                        row = json.load(f)
+                except (OSError, ValueError) as exc:
+                    print(f"[bench] {k} row file unreadable: {exc}",
+                          file=sys.stderr)
+            if os.path.exists(row_path):
+                os.remove(row_path)
+            if row is not None:
+                new_entries = _cache_entries() - cache_before
+                row["new_cache_entries"] = new_entries
+                row["harness_wall_s"] = round(row_elapsed, 1)
+                if new_entries:
+                    print(f"[bench] {k}: {new_entries} compile-cache "
+                          "MISSES (new .jax_cache entries) — commit them",
+                          file=sys.stderr)
+                rows.append(row)
+                _emit(rows, skipped)
+                break
+            print(f"[bench] {k} row FAILED (exit {proc_rc}, "
+                  f"{row_elapsed:.0f}s)", file=sys.stderr)
+            # retry only a fast failure (setup crash), never a time-boxed
+            # run that burned its slice: the budget is the scarce resource
+            if attempts >= 2 or row_elapsed > est / 2:
+                skipped.append({"sampler": k, "reason":
+                                f"failed (exit {proc_rc}, "
+                                f"{row_elapsed:.0f}s, {attempts} attempts)"})
+                _emit(rows, skipped)
+                break
+            print(f"[bench] retrying {k} once in a fresh process",
+                  file=sys.stderr)
+    _emit(rows, skipped, final=True)
     if not rows:
         raise RuntimeError("all bench rows failed")
-    # ONE JSON line for the driver: the headline is the fastest row (HMC),
-    # honestly labeled; the same-algorithm MCMC row rides along in "rows"
-    head = max(rows, key=lambda r: r["value"])
-    result = {
-        "metric": head["metric"],
-        "value": head["value"],
-        "unit": head["unit"],
-        "vs_baseline": head["vs_baseline"],
-        "rows": rows,
-    }
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":

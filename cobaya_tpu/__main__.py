@@ -71,18 +71,19 @@ def run_command():
               + ", ".join(commands))
         sys.exit(0 if len(sys.argv) >= 2 else 1)
     command, args = sys.argv[1], sys.argv[2:]
-    handler = commands.get(command)
+    handler = commands.get(command.lower())
     if handler is None:
+        if command.startswith("-"):
+            print(f"Unknown option '{command}'. Commands: "
+                  + ", ".join(commands))
+            sys.exit(1)
         # `python -m cobaya_tpu input.yaml` == `... run input.yaml`
-        # (reference __main__.py:44: no command -> assume run)
-        if command.endswith((".yaml", ".yml")) or "/" in command:
-            from .run import run_script
+        # (reference __main__.py:44: ANY unknown non-flag first token is
+        # treated as a run input file; load_input reports a missing file)
+        from .run import run_script
 
-            run_script(sys.argv[1:])
-            return
-        print(f"Unknown command '{command}'. Available: "
-              + ", ".join(commands))
-        sys.exit(1)
+        run_script(sys.argv[1:])
+        return
     handler(args)
 
 

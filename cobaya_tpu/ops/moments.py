@@ -109,6 +109,53 @@ def cov_of_means(m: Moments, weighted: bool = True) -> jnp.ndarray:
     return jnp.einsum("c,ci,cj->ij", w, dm, dm) * bessel
 
 
+def grouped_between_within(m: Moments, n_groups: int):
+    """Superchain (nested R-hat) sufficient statistics.
+
+    Partitions the ``C`` walkers into ``n_groups`` contiguous groups
+    ("superchains", Margossian et al. arXiv:2110.13017) and returns
+
+    - ``B``: the count-weighted, Bessel-corrected covariance over groups of
+      the group means (the between-superchain term), and
+    - ``V``: the mean over groups of the within-group covariance of walker
+      means (the between-chain-within-superchain term).
+
+    The nested Gelman-Rubin statistic uses ``W = mean_of_covs(m) + V`` as
+    the within-superchain variance and ``B`` as the between term: with
+    ``S = C / n_groups`` walkers per group the stationary noise floor of
+    ``B/W`` drops from ``tau/n`` (per-walker chains) to ``tau/(n S)``,
+    which is what makes an R-1 < 0.01 stop reachable for fleets of
+    thousands of *short* chains.  Detection of initialization bias is kept
+    by giving all walkers of a group the same starting point (see
+    ``MCMC._init_points``), the paper's construction.
+
+    Requires ``C % n_groups == 0`` (callers clamp to a divisor).
+    """
+    counts = m.count  # (C,)
+    means = mean(m)  # (C, d)
+    C = counts.shape[0]
+    G = int(n_groups)
+    S = C // G
+    cg = counts.reshape(G, S)
+    mg = means.reshape(G, S, -1)
+    wg = jnp.maximum(cg.sum(axis=1), 1e-30)  # (G,)
+    Mg = jnp.einsum("gs,gsi->gi", cg, mg) / wg[:, None]
+    # between-group covariance of group means (same weighting/Bessel
+    # convention as cov_of_means)
+    w = wg / jnp.maximum(jnp.sum(wg), 1e-30)
+    mu = jnp.einsum("g,gi->i", w, Mg)
+    dM = Mg - mu
+    bessel = 1.0 / jnp.maximum(1.0 - jnp.sum(w ** 2), 1e-12)
+    B = jnp.einsum("g,gi,gj->ij", w, dM, dM) * bessel
+    # within-group covariance of walker means, averaged over groups
+    # (count-weighted; S/(S-1) Bessel for the equal-count case)
+    dm = mg - Mg[:, None, :]
+    V = jnp.einsum("gs,gsi,gsj->ij", cg, dm, dm) / jnp.maximum(
+        jnp.sum(wg), 1e-30)
+    V = V * (S / max(S - 1, 1))
+    return B, V
+
+
 def cov(m: Moments, ddof: int = 1) -> jnp.ndarray:
     """Pooled covariance — only meaningful for an UNBATCHED accumulator
     (e.g. after :func:`reduce_chains`)."""

@@ -104,6 +104,11 @@ def run(
         if info.get("test"):
             log.info("Test initialization successful! "
                      "You can probably run this input.")
+            # release the output-prefix FileLock: a test init holds no
+            # products, and a following run(info) in the same process must
+            # be able to acquire the lock
+            if out:
+                out.close()
             return InfoSamplerTuple(updated_info, sampler)
         # cross-process error propagation: one process's failure aborts its
         # peers at their next sync point instead of deadlocking them

@@ -68,11 +68,18 @@ class HMC(MCMC):
 
         # single fused device call (eager dispatch is ~1s/op on the
         # tunnel-TPU backend)
+        G = getattr(self, "_r_groups", 0)
+
         @jax.jit
         def cluster_starts(carry_x, carry_logpost, key):
             best = jnp.argmax(carry_logpost)
+            shape = (G, carry_x.shape[1]) if G else carry_x.shape
             jitter = 0.01 * jnp.asarray(widths, self._dtype) * \
-                jax.random.normal(key, carry_x.shape, dtype=self._dtype)
+                jax.random.normal(key, shape, dtype=self._dtype)
+            if G:
+                # nested R-hat needs one shared start per superchain
+                # (see MCMC._init_points)
+                jitter = jnp.repeat(jitter, carry_x.shape[0] // G, axis=0)
             return carry_x[best][None, :] + jitter
 
         x0 = cluster_starts(self._carry.x, self._carry.logpost,

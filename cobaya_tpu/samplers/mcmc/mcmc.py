@@ -90,6 +90,7 @@ class MCMC(CovmatSampler):
     Rminus1_cl_level: float
     Rminus1_n_checks: int
     Rminus1_single_split: int
+    Rminus1_n_groups: int
     measure_speeds: bool
     oversample_power: float
     oversample_thin: bool
@@ -120,6 +121,7 @@ class MCMC(CovmatSampler):
         "callback_function", "callback_every", "Rminus1_stop",
         "Rminus1_cl_stop", "Rminus1_cl_level", "learn_proposal",
         "ensemble_remix", "remix_every", "remix_inflate",
+        "Rminus1_n_groups",
     ]
     _at_resume_prefer_old = ["proposal_scale", "blocking", "covmat",
                              "temperature", "n_chains"]
@@ -296,14 +298,43 @@ class MCMC(CovmatSampler):
         # + a small record subsample cross to the host each epoch)
         from ...ops.convergence import rminus1_of_moments_jax
 
+        # nested R-hat (Margossian et al. arXiv:2110.13017): group walkers
+        # into superchains so the stationary noise floor of the R-1 test
+        # scales as tau/(n * walkers_per_group) instead of tau/n.  0 = off
+        # (every walker its own chain, the strictest reading of the
+        # reference's per-chain test, mcmc.py:773-1032)
+        G = int(self.Rminus1_n_groups or 0)
+        if G > 1:
+            G = min(G, self.n_chains)
+            while self.n_chains % G:
+                G -= 1
+            if G <= 1:
+                G = 0
+            elif G != int(self.Rminus1_n_groups):
+                self.mpi_info(
+                    "Rminus1_n_groups %s -> %d (must divide n_chains=%d)",
+                    self.Rminus1_n_groups, G, self.n_chains)
+        else:
+            G = 0
+        self._r_groups = G
+        if G:
+            self.mpi_info(
+                "Convergence: nested R-1 over %d superchains of %d walkers "
+                "(group-clustered starting points).", G, self.n_chains // G)
+
         def window_stats(mom: mom_ops.Moments):
             mean_of_covs = mom_ops.mean_of_covs(mom)
-            cov_of_means = mom_ops.cov_of_means(mom)
             # weighted mean-of-means + total weight: the sufficient extra
             # statistics to pool cov_of_means across processes exactly
             counts = mom.count
             w = counts / jnp.maximum(jnp.sum(counts), 1.0)
             mu = jnp.einsum("c,ci->i", w, mom_ops.mean(mom))
+            if G:
+                B, V = mom_ops.grouped_between_within(mom, G)
+                within = mean_of_covs + V
+                return (rminus1_of_moments_jax(within, B),
+                        within, B, mu, jnp.sum(counts))
+            cov_of_means = mom_ops.cov_of_means(mom)
             return (rminus1_of_moments_jax(mean_of_covs, cov_of_means),
                     mean_of_covs, cov_of_means, mu, jnp.sum(counts))
 
@@ -451,6 +482,14 @@ class MCMC(CovmatSampler):
             # valid, so host-callback likelihoods see no extra evaluations
             # (the drag/oversampling eval-count semantics depend on this)
             _, key, x, ok = jax.lax.while_loop(cond, body, state)
+            G = getattr(self, "_r_groups", 0)
+            if G:
+                # nested R-hat construction (arXiv:2110.13017): all walkers
+                # of a superchain share one starting point, so the between-
+                # superchain term retains initialization memory and the
+                # grouped test cannot pass before starts are forgotten
+                x = jnp.repeat(x[:G], C // G, axis=0)
+                ok = jnp.repeat(ok[:G], C // G, axis=0)
             key, k_carry = jax.random.split(key)
             carry = init_carry(k_carry, x, self._logpost_fn,
                                dtype=self._dtype,

@@ -150,6 +150,73 @@ def _mean_std(samples, weights):
     return stds.mean(axis=0)
 
 
+def test_grouped_between_within_math():
+    """grouped_between_within matches a naive numpy superchain computation
+    (nested R-hat sufficient statistics, arXiv:2110.13017)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    C, d, G = 24, 3, 4
+    S = C // G
+    n = 50
+    xs = rng.normal(size=(C, n, d)) + rng.normal(0, 0.3, size=(C, 1, d))
+    m = mom_ops.init(jnp.asarray(xs[:, 0, :]))
+    for t in range(n):
+        m = mom_ops.update(m, jnp.asarray(xs[:, t, :]))
+    B, V = mom_ops.grouped_between_within(m, G)
+    # naive: equal counts
+    means = xs.mean(axis=1)  # (C, d)
+    Mg = means.reshape(G, S, d).mean(axis=1)  # (G, d)
+    B_ref = np.cov(Mg.T, ddof=1)
+    dm = means.reshape(G, S, d) - Mg[:, None, :]
+    V_ref = np.einsum("gsi,gsj->ij", dm, dm) / C * (S / (S - 1))
+    np.testing.assert_allclose(np.asarray(B), B_ref, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(V), V_ref, rtol=1e-4, atol=1e-7)
+
+
+def test_nested_rminus1_noise_floor_vs_per_walker():
+    """At stationarity, per-walker R-1 is floored at ~tau/n while the
+    grouped statistic's floor drops by the group size — the property that
+    makes R-1 < 0.01 reachable for fleets of short chains."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(6)
+    C, d, n, G = 512, 3, 25, 16  # 32 walkers per superchain
+    xs = rng.normal(size=(C, n, d))  # iid: perfectly mixed, tau = 1
+    m = mom_ops.init(jnp.asarray(xs[:, 0, :]))
+    for t in range(n):
+        m = mom_ops.update(m, jnp.asarray(xs[:, t, :]))
+    r_walker = rminus1_from_covs(
+        np.asarray(mom_ops.mean_of_covs(m)),
+        np.asarray(mom_ops.cov_of_means(m)))
+    B, V = mom_ops.grouped_between_within(m, G)
+    r_grouped = rminus1_from_covs(
+        np.asarray(mom_ops.mean_of_covs(m)) + np.asarray(V), np.asarray(B))
+    # per-walker floor ~ 1/n (plus eigenvalue-max inflation over d dims)
+    assert r_walker > 1.0 / n, r_walker
+    # grouped floor ~ 1/(n*S): at least 8x below per-walker here
+    assert r_grouped < r_walker / 8, (r_grouped, r_walker)
+
+
+def test_nested_rminus1_detects_initialization_bias():
+    """Superchains with group-clustered offsets (walkers that have not yet
+    forgotten shared starting points) must fail the grouped test loudly."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    C, d, n, G = 256, 3, 25, 8
+    S = C // G
+    offsets = np.repeat(rng.normal(0, 1.0, size=(G, d)), S, axis=0)
+    xs = rng.normal(size=(C, n, d)) + offsets[:, None, :]
+    m = mom_ops.init(jnp.asarray(xs[:, 0, :]))
+    for t in range(n):
+        m = mom_ops.update(m, jnp.asarray(xs[:, t, :]))
+    B, V = mom_ops.grouped_between_within(m, G)
+    r_grouped = rminus1_from_covs(
+        np.asarray(mom_ops.mean_of_covs(m)) + np.asarray(V), np.asarray(B))
+    assert r_grouped > 0.5, r_grouped
+
+
 def test_weighted_quantile_matches_getdist_convention():
     """weighted_quantile's midpoint rule agrees with the cumulative-weight
     interpolation getdist uses to O(1/n)."""

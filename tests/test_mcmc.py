@@ -22,6 +22,26 @@ def test_mcmc_gaussian_accuracy():
     assert kl < 0.07
 
 
+def test_mcmc_nested_rminus1_groups():
+    """End-to-end run with superchain-grouped (nested) R-1: converges in
+    far fewer steps than per-walker R-1 allows, and the posterior is still
+    recovered to the harness KL tolerance."""
+    info = random_gaussian_info(dim=3, random_state=7)
+    info["sampler"] = {"mcmc": {"seed": 3, "n_chains": 128,
+                                "Rminus1_n_groups": 8,
+                                "max_samples": 50000}}
+    _, sampler = run(info)
+    assert sampler._r_groups == 8
+    kl = check_gaussian(info, sampler.products(skip_samples=0.5)["sample"])
+    assert sampler.converged
+    assert kl < 0.07
+    # group-clustered starts: any non-divisor group request is clamped
+    info["sampler"]["mcmc"].update({"Rminus1_n_groups": 7, "seed": 4,
+                                    "max_samples": 2000})
+    _, sampler2 = run(info)
+    assert sampler2.n_chains % sampler2._r_groups == 0
+
+
 def test_mcmc_derived_and_chi2_in_chain():
     info = random_gaussian_info(dim=2, random_state=11, derived=True)
     info["sampler"] = {"mcmc": {"seed": 5, "n_chains": 64,
