@@ -85,9 +85,18 @@ def test_cli_doc_and_bib():
 
 
 def test_cli_unknown_command():
+    # reference __main__.py:44: ANY unknown non-flag first token is treated
+    # as a run input file (load_input reports the missing file); unknown
+    # flags still error with the command list
     result = _run(["frobnicate"])
+    assert result.returncode != 0
+    assert "Input file not found" in result.stdout + result.stderr
+    result = _run(["--frobnicate"])
     assert result.returncode == 1
-    assert "Unknown command" in result.stdout
+    assert "Unknown option" in result.stdout
+    # commands are case-insensitive (reference lowercases the command)
+    result = _run(["DOC", "mcmc"])
+    assert result.returncode == 0 and "proposal_scale" in result.stdout
 
 
 def test_examples_initialize(tmp_path):
