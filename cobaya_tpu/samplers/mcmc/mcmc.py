@@ -786,13 +786,12 @@ class MCMC(CovmatSampler):
         """One ensemble independence-remix move (ops/remix.py).
 
         Exact MH on the product chain; dispatched asynchronously — the
-        acceptance fraction is only fetched (device sync) in debug mode.
+        acceptance fraction rides the next epoch's bundled stats fetch
+        (no extra device sync) and shows in the progress line.
         """
         carry, acc = self._remix_fn(self._carry)
         self._carry = carry
-        if self.is_debug():
-            self.log.debug("Ensemble remix: %.1f%% of walkers moved",
-                           100.0 * float(acc))
+        self._remix_acc_dev = acc
 
     def _dispatch_epoch(self, n_steps: int, record: bool = True) -> dict:
         """Dispatch one epoch + its on-device statistics (non-blocking).
@@ -836,10 +835,13 @@ class MCMC(CovmatSampler):
         nf = self._n_fetch
         fetch_recs = jax.tree.map(lambda a: a[:, :nf], recs) if record \
             else None
+        remix_acc = getattr(self, "_remix_acc_dev", None)
+        self._remix_acc_dev = None
         return {
             "carry": carry, "recs": fetch_recs, "thin": thin,
             "total": total, "record": record,
             "stats": self._stats_fn(carry),
+            "remix_acc": remix_acc,
             "win_steps": list(self._win_steps),
         }
 
@@ -864,6 +866,9 @@ class MCMC(CovmatSampler):
             self._epoch_timing["n"] += 1
         else:
             stats_h, recs_h = jax.device_get((ep["stats"], ep["recs"]))
+        if ep.get("remix_acc") is not None:
+            # rides the same (already synced) epoch boundary; a scalar
+            self._remix_acc_last = float(jax.device_get(ep["remix_acc"]))
         total, thin = ep["total"], ep["thin"]
         self.n_steps += total
         (stats_a, stats_b, acc_mean, streak) = stats_h
@@ -921,11 +926,14 @@ class MCMC(CovmatSampler):
         self._accepted_prev = new_acc
         self._total_accepted_mean = new_acc
         if now - self._t_last_print > self._output_every.value:
+            remix_acc = getattr(self, "_remix_acc_last", None)
             self.mpi_info(
                 "%d steps/walker (%.2g posterior evals/s), acceptance %.3f, "
-                "R-1 %.4g", self.n_steps,
+                "R-1 %.4g%s", self.n_steps,
                 self.n_steps * self.n_chains / (now - self._t_start),
                 self._acceptance_rate, self.Rminus1_last,
+                "" if remix_acc is None else
+                ", remix acceptance %.3f" % remix_acc,
             )
             self._t_last_print = now
 
