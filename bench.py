@@ -182,7 +182,8 @@ def epoch_flops(sampler):
 def run_one(kind: str, dim: int, n_chains: int,
             validate_walkers: int = 512,
             max_samples: int | None = None,
-            max_wall: float | None = None) -> dict:
+            max_wall: float | None = None,
+            deadline: float | None = None) -> dict:
     """Run one sampler to convergence; return a labeled result row."""
     import jax
 
@@ -236,6 +237,16 @@ def run_one(kind: str, dim: int, n_chains: int,
     print(f"[bench] {kind} setup breakdown: model={t_model:.1f}s "
           f"sampler_init={t_sampler:.1f}s warmup={t_warm:.1f}s",
           file=sys.stderr)
+    if deadline:
+        # absolute-deadline mode (parent harness): whatever the setup
+        # actually cost, sampling gets exactly the time that remains minus
+        # an analysis/emission margin — a slow compile shrinks the row, a
+        # cache hit grows it, and the row always lands before the kill
+        wall_left = deadline - time.time() - 45.0
+        sampler.max_wall = max(min(sampler.max_wall or np.inf, wall_left),
+                               30.0)
+        print(f"[bench] {kind}: sampling wall set to {sampler.max_wall:.0f}s"
+              " (absolute deadline)", file=sys.stderr)
     t0 = time.time()
     sampler.run()
     t_run = time.time() - t0
@@ -418,6 +429,10 @@ def main():
                         help="cap steps/walker (smoke tests)")
     parser.add_argument("--max-wall", type=float, default=None,
                         help="cap a row's sampling wall-clock (seconds)")
+    parser.add_argument("--deadline", type=float, default=None,
+                        help="(internal) absolute unix time the row must "
+                             "finish by; sampling wall adapts to actual "
+                             "setup cost")
     parser.add_argument("--budget", type=float,
                         default=float(os.environ.get("BENCH_BUDGET_S",
                                                      3300)),
@@ -435,7 +450,8 @@ def main():
     kinds = sorted(kinds, key=ROW_ORDER.index)
     if ns.emit_row or (ns.in_process and len(kinds) == 1):
         row = run_one(kinds[0], ns.dim, ns.n_chains,
-                      max_samples=ns.max_samples, max_wall=ns.max_wall)
+                      max_samples=ns.max_samples, max_wall=ns.max_wall,
+                      deadline=ns.deadline)
         if ns.emit_row:
             with open(ns.emit_row, "w") as f:
                 json.dump(row, f)
@@ -461,9 +477,8 @@ def main():
             try:
                 rows.append(run_one(k, ns.dim, ns.n_chains,
                                     max_samples=ns.max_samples,
-                                    max_wall=ns.max_wall
-                                    or max(remaining() - est - 30,
-                                           MIN_SAMPLE_S)))
+                                    max_wall=ns.max_wall,
+                                    deadline=time.time() + remaining() - 20))
             except Exception as exc:
                 print(f"[bench] {k} row FAILED in-process: {exc}",
                       file=sys.stderr)
@@ -493,18 +508,21 @@ def main():
                 print(f"[bench] SKIP {k}: {skipped[-1]['reason']}",
                       file=sys.stderr)
                 break
-            row_wall = ns.max_wall or max(left - est - 30, MIN_SAMPLE_S)
+            row_deadline = time.time() + left - 20
             with tempfile.NamedTemporaryFile(suffix=".json",
                                              delete=False) as tmp:
                 row_path = tmp.name
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--sampler", k, "--n-chains", str(ns.n_chains),
                    "--dim", str(ns.dim), "--emit-row", row_path,
-                   "--max-wall", str(row_wall)]
+                   "--deadline", str(row_deadline)]
+            if ns.max_wall:
+                cmd += ["--max-wall", str(ns.max_wall)]
             if ns.max_samples:
                 cmd += ["--max-samples", str(ns.max_samples)]
-            print(f"[bench] row {k}: {left:.0f}s budget left, sampling "
-                  f"wall capped at {row_wall:.0f}s", file=sys.stderr)
+            print(f"[bench] row {k}: {left:.0f}s budget left "
+                  f"(setup estimate {est:.0f}s; sampling wall adapts to "
+                  "the actual setup cost)", file=sys.stderr)
             cache_before = _cache_entries()
             t_row = time.time()
             try:
