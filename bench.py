@@ -219,6 +219,12 @@ def run_one(kind: str, dim: int, n_chains: int,
         # HMC records are fully decorrelated at much denser thinning
         # (tau(rec) ~ 1 at 1/31 retention), so retain more of them
         opts.update({"leapfrog_steps": 12, "records_per_epoch": 512})
+        if is_cosmo:
+            # the tunnel-TPU backend kills single executions past ~100s;
+            # the gradient-heavy cosmology epoch must dispatch in bounded
+            # chunks (measured: 480-record dispatches fault, short ones
+            # run; mcmc.yaml max_steps_per_dispatch)
+            opts["max_steps_per_dispatch"] = 48
         info["sampler"] = {"hmc": opts}
     n_dev = len(jax.devices())
     t0 = time.time()

@@ -109,6 +109,7 @@ class MCMC(CovmatSampler):
     ensemble_remix: bool
     remix_every: int
     remix_inflate: float
+    max_steps_per_dispatch: Optional[Union[int, str]]
     # deprecated reference options (accepted with a warning)
     check_every: Optional[Union[int, str]]
     oversample: Optional[Any]
@@ -121,7 +122,7 @@ class MCMC(CovmatSampler):
         "callback_function", "callback_every", "Rminus1_stop",
         "Rminus1_cl_stop", "Rminus1_cl_level", "learn_proposal",
         "ensemble_remix", "remix_every", "remix_inflate",
-        "Rminus1_n_groups",
+        "Rminus1_n_groups", "max_steps_per_dispatch",
     ]
     _at_resume_prefer_old = ["proposal_scale", "blocking", "covmat",
                              "temperature", "n_chains"]
@@ -659,6 +660,9 @@ class MCMC(CovmatSampler):
         import jax.numpy as jnp
 
         n_rec, thin = self._epoch_shape(self._learn_every)
+        # compile exactly the program shape the run dispatches: under
+        # max_steps_per_dispatch that is the chunk, not the full epoch
+        n_rec = self._dispatch_chunk_recs(n_rec, thin)
         schedule = make_block_schedule(
             self._proposal, n_rec * thin, np.random.default_rng(0)
         ).reshape(n_rec, thin)
@@ -793,6 +797,23 @@ class MCMC(CovmatSampler):
         self._carry = carry
         self._remix_acc_dev = acc
 
+    def _dispatch_chunk_recs(self, n_rec: int, thin: int) -> int:
+        """Record-rows per device call under ``max_steps_per_dispatch``.
+
+        Returns the largest divisor of ``n_rec`` whose step count fits the
+        limit, so every chunk has the same shape (one compiled program).
+        """
+        limit = getattr(self, "max_steps_per_dispatch", None)
+        if not limit:
+            return n_rec
+        max_rec = max(1, int(read_dnumber(limit, self.d)) // max(thin, 1))
+        if max_rec >= n_rec:
+            return n_rec
+        for c in range(max_rec, 0, -1):
+            if n_rec % c == 0:
+                return c
+        return 1
+
     def _dispatch_epoch(self, n_steps: int, record: bool = True) -> dict:
         """Dispatch one epoch + its on-device statistics (non-blocking).
 
@@ -824,10 +845,31 @@ class MCMC(CovmatSampler):
             self._proposal, total, self.rng,
             carryover=self._schedule_carry,
         ).reshape(n_rec, thin)
-        carry, recs = self._epoch_fn(
-            self._carry, jnp.asarray(schedule),
-            *self._direction_xs(schedule), *self._prop_dev
-        )
+        chunk = self._dispatch_chunk_recs(n_rec, thin)
+        if chunk == n_rec:
+            carry, recs = self._epoch_fn(
+                self._carry, jnp.asarray(schedule),
+                *self._direction_xs(schedule), *self._prop_dev
+            )
+        else:
+            # bounded-dispatch mode: split the epoch into equal-shape
+            # chained device calls (one compiled program, several async
+            # dispatches — no host sync in between).  Some backends kill
+            # executions past a wall/instruction budget (the tunneled-TPU
+            # remote service faults on ~100s dispatches of the
+            # gradient-heavy cosmology HMC epoch); chunking bounds each
+            # call while keeping epoch semantics identical.
+            carry = self._carry
+            recs_parts = []
+            dirs = self._direction_xs(schedule)
+            for s in range(0, n_rec, chunk):
+                sched_i = jnp.asarray(schedule[s:s + chunk])
+                dirs_i = tuple(d[s:s + chunk] for d in dirs)
+                carry, recs_i = self._epoch_fn(
+                    carry, sched_i, *dirs_i, *self._prop_dev)
+                recs_parts.append(recs_i)
+            recs = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *recs_parts)
         self._carry = carry
         self._win_steps = [w + total for w in self._win_steps]
         if record and self.cl_bounds_records:

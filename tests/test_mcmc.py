@@ -42,6 +42,30 @@ def test_mcmc_nested_rminus1_groups():
     assert sampler2.n_chains % sampler2._r_groups == 0
 
 
+def test_mcmc_max_steps_per_dispatch_equivalence():
+    """Chunked epoch dispatch (max_steps_per_dispatch) must reproduce the
+    single-dispatch run: same seed, same step sequence, same samples."""
+    from cobaya_tpu.models.model import get_model
+    from cobaya_tpu.samplers.sampler import get_sampler
+
+    info = random_gaussian_info(dim=3, random_state=13)
+    base = {"seed": 21, "n_chains": 16, "max_samples": 600,
+            "learn_every": 120, "records_per_epoch": 24,
+            "Rminus1_stop": 1e-9, "Rminus1_cl_stop": 1e6}
+    results = []
+    for extra in ({}, {"max_steps_per_dispatch": 35}):
+        model = get_model({k: v for k, v in info.items() if k != "sampler"})
+        sampler = get_sampler({"mcmc": dict(base, **extra)}, model)
+        if extra:
+            # 24 records x thin 5: limit 35 -> 7 rec/call? must divide 24
+            assert sampler._dispatch_chunk_recs(24, 5) == 6
+        sampler.run()
+        xs = np.concatenate([r["x"] for r in sampler._records], axis=0)
+        results.append(xs)
+    np.testing.assert_allclose(results[0], results[1], rtol=2e-5,
+                               atol=1e-6)
+
+
 def test_mcmc_derived_and_chi2_in_chain():
     info = random_gaussian_info(dim=2, random_state=11, derived=True)
     info["sampler"] = {"mcmc": {"seed": 5, "n_chains": 64,
