@@ -1007,13 +1007,17 @@ class MCMC(CovmatSampler):
             return
         if self.model.timing:
             self.model.dump_timing()
+        rminus1_prev = self.Rminus1_last
         self.Rminus1_last = self._last_stats["rminus1"]
         self.mpi_info(
             "Convergence check: R-1(means) = %.4g (stop at %.3g) after %d "
             "steps/walker.", self.Rminus1_last, self.Rminus1_stop,
             self.n_steps,
         )
-        converged_means = self.Rminus1_last < self.Rminus1_stop
+        # the means criterion must hold on two consecutive checks
+        # (reference mcmc.py:907-908: max(Rminus1, Rminus1_last) < stop)
+        converged_means = max(self.Rminus1_last,
+                              rminus1_prev) < self.Rminus1_stop
         if converged_means:
             self.Rminus1_cl_last = self._check_cl_bounds()
             self.mpi_info(
