@@ -220,11 +220,13 @@ def run_one(kind: str, dim: int, n_chains: int,
         # (tau(rec) ~ 1 at 1/31 retention), so retain more of them
         opts.update({"leapfrog_steps": 12, "records_per_epoch": 512})
         if is_cosmo:
-            # the tunnel-TPU backend kills single executions past ~100s;
-            # the gradient-heavy cosmology epoch must dispatch in bounded
-            # chunks (measured: 480-record dispatches fault, short ones
-            # run; mcmc.yaml max_steps_per_dispatch)
-            opts["max_steps_per_dispatch"] = 48
+            # the axon backend's TPU worker faults on gradient-heavy
+            # cosmology dispatches past ~0.4M leapfrog-walker units
+            # (bisected: 8192 walkers x 48 leapfrogs OK, x576 faults;
+            # 256 x 1440 OK, x11520 faults).  Keep each dispatch well
+            # inside the proven-safe regime.
+            opts["n_chains"] = min(opts["n_chains"], 2048)
+            opts["max_steps_per_dispatch"] = 8
         info["sampler"] = {"hmc": opts}
     n_dev = len(jax.devices())
     t0 = time.time()
