@@ -518,7 +518,8 @@ def main():
                 print(f"[bench] SKIP {k}: {skipped[-1]['reason']}",
                       file=sys.stderr)
                 break
-            row_deadline = time.time() + left - 20
+            row_deadline = time.time() + min(left - 20,
+                                             4.0 * est - 15)
             with tempfile.NamedTemporaryFile(suffix=".json",
                                              delete=False) as tmp:
                 row_path = tmp.name
@@ -535,10 +536,14 @@ def main():
                   "the actual setup cost)", file=sys.stderr)
             cache_before = _cache_entries()
             t_row = time.time()
+            # hard leash: a row that wedges (e.g. a backend fault leaving
+            # the client blocked in a device fetch) must not push the
+            # parent into the driver's kill window — the JSON lines
+            # already printed are the artifact
+            leash = min(max(left - 15, 30), 4.0 * est)
             try:
                 proc_rc = subprocess.run(
-                    cmd, stdout=sys.stderr,
-                    timeout=max(left - 15, 30)).returncode
+                    cmd, stdout=sys.stderr, timeout=leash).returncode
             except subprocess.TimeoutExpired:
                 proc_rc = "timeout"
             row_elapsed = time.time() - t_row
