@@ -431,13 +431,15 @@ def main():
     parser.add_argument("--dim", type=int, default=50)
     parser.add_argument(
         "--sampler", default="all",
-        choices=["mcmc", "hmc", "cosmo", "cosmo-hmc", "both", "all"],
+        choices=["mcmc", "hmc", "cosmo", "cosmo-hmc", "both", "all",
+                 "full"],
         help="mcmc: the reference's Metropolis algorithm (apples-to-apples);"
              " hmc: gradient-based kernel exploiting the jitted posterior;"
              " cosmo: the end-to-end on-device cosmology pipeline;"
              " cosmo-hmc: the cosmology pipeline under HMC (exact XLA"
-             " gradients through the Boltzmann surrogate);"
-             " all (default): every row")
+             " gradients through the Boltzmann surrogate; can wedge this"
+             " backend's TPU worker — see docs/performance.md);"
+             " all (default): hmc+mcmc+cosmo; full: every row")
     parser.add_argument("--max-samples", type=int, default=None,
                         help="cap steps/walker (smoke tests)")
     parser.add_argument("--max-wall", type=float, default=None,
@@ -458,8 +460,14 @@ def main():
                         help="run rows in this process (no subprocess "
                              "isolation; debugging)")
     ns = parser.parse_args()
+    # cosmo-hmc is NOT in the default set: its gradient-heavy epochs can
+    # wedge this backend's TPU worker for tens of minutes (see
+    # docs/performance.md "Known backend fault"), which would poison every
+    # later dispatch of the run.  Run it explicitly with --sampler
+    # cosmo-hmc or --sampler full.
     kinds = {"both": ["mcmc", "hmc"],
-             "all": list(ROW_ORDER)}.get(ns.sampler, [ns.sampler])
+             "all": ["hmc", "mcmc", "cosmo"],
+             "full": list(ROW_ORDER)}.get(ns.sampler, [ns.sampler])
     kinds = sorted(kinds, key=ROW_ORDER.index)
     if ns.emit_row or (ns.in_process and len(kinds) == 1):
         row = run_one(kinds[0], ns.dim, ns.n_chains,

@@ -83,6 +83,8 @@ def test_budget_skips_rows_that_cannot_fit(tmp_path):
     assert "SKIP" in proc.stderr
     saved = json.load(open(os.path.join(REPO, "bench_rows_partial.json")))
     assert saved["final"] and not saved["rows"]
-    assert len(saved["skipped"]) == 4
+    # default set excludes cosmo-hmc (backend-fault risk, docs/performance.md)
+    assert [s["sampler"] for s in saved["skipped"]] == ["hmc", "mcmc",
+                                                        "cosmo"]
     assert all("insufficient budget" in s["reason"] for s in saved["skipped"])
     os.remove(os.path.join(REPO, "bench_rows_partial.json"))
