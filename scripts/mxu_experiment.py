@@ -43,15 +43,25 @@ def flops_of(compiled) -> float:
     return float(cost.get("flops", 0.0))
 
 
-def time_it(fn, *args, iters=20):
+def time_it(fn, arg, iters=20):
+    """Chained timing: each call's input depends on the previous call's
+    output, and the loop ends with a scalar device fetch.  Plain
+    ``block_until_ready`` returns early on this relay backend (measured:
+    impossible >1.5 PFLOP/s), so wall time must be anchored by a real
+    data round trip."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
+    out = fn(arg)
     jax.block_until_ready(out)  # compile + warm
+    float(np.asarray(jax.device_get(out.ravel()[0])))
     t0 = time.perf_counter()
+    prev = out
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        bump = (prev.ravel()[0] * 0).astype(arg.dtype)
+        out = fn(arg + bump)
+        prev = out
+    float(np.asarray(jax.device_get(prev.ravel()[0])))
     return (time.perf_counter() - t0) / iters
 
 
