@@ -373,11 +373,11 @@ def run_one(kind: str, dim: int, n_chains: int,
 # estimates are per-kind wall costs (model build + jit compile/cache load +
 # warmup) measured on the tunnel-TPU driver environment; env-overridable.
 ROW_ORDER = ["hmc", "mcmc", "cosmo", "cosmo-hmc"]
-# measured on the driver TPU with the committed .jax_cache warm: the first
-# row absorbs the one-time backend init + executable loads (~510s); later
-# rows in the same bench run set up in seconds to ~1 min
-SETUP_EST_S = {"hmc": 500.0, "mcmc": 150.0, "cosmo-hmc": 650.0,
-               "cosmo": 300.0}
+# measured on the driver TPU with the committed .jax_cache warm: every row
+# is a fresh subprocess that pays backend init + executable loads, which on
+# this tunneled link varies ~100..1000s independent of the row
+SETUP_EST_S = {"hmc": 500.0, "mcmc": 400.0, "cosmo-hmc": 650.0,
+               "cosmo": 500.0}
 MIN_SAMPLE_S = 60.0  # a row needs at least this much timed sampling
 
 
@@ -530,7 +530,7 @@ def main():
                       file=sys.stderr)
                 break
             row_deadline = time.time() + min(left - 20,
-                                             4.0 * est - 15)
+                                             max(4.0 * est, 1500.0) - 15)
             with tempfile.NamedTemporaryFile(suffix=".json",
                                              delete=False) as tmp:
                 row_path = tmp.name
@@ -550,8 +550,10 @@ def main():
             # hard leash: a row that wedges (e.g. a backend fault leaving
             # the client blocked in a device fetch) must not push the
             # parent into the driver's kill window — the JSON lines
-            # already printed are the artifact
-            leash = min(max(left - 15, 30), 4.0 * est)
+            # already printed are the artifact.  Floor of 1500s: fresh-
+            # process backend init on this link varies 100..1000s, and a
+            # healthy row must never die to link variance
+            leash = min(max(left - 15, 30), max(4.0 * est, 1500.0))
             try:
                 proc_rc = subprocess.run(
                     cmd, stdout=sys.stderr, timeout=leash).returncode
