@@ -58,6 +58,28 @@ class BlockedProposal(NamedTuple):
     covmat: np.ndarray  # the (param-ordered) covariance this was built from
 
 
+def regularize_learned_covmat(covmat: np.ndarray) -> np.ndarray:
+    """Clean a walker-statistics covariance for use as a proposal.
+
+    The per-epoch moment accumulators reduce on device in float32, so a
+    covariance learned from them can come back very slightly asymmetric or
+    with tiny negative eigenvalues — reduction noise, not structure.
+    Symmetrize, and if the most negative eigenvalue is within 1e-4 of the
+    largest one (relative), floor the spectrum at 1e-8 * max instead of
+    discarding the whole adaptation update.  Genuinely indefinite matrices
+    (negative beyond the noise bound) are returned symmetrized only, so the
+    strict check in :func:`build_blocked_proposal` still rejects them.
+    """
+    cov = np.asarray(covmat, dtype=float)
+    cov = (cov + cov.T) / 2
+    eigs, vecs = np.linalg.eigh(cov)
+    emax = float(eigs[-1]) if eigs.size else 0.0
+    if emax > 0 and eigs[0] <= 0 and eigs[0] > -1e-4 * emax:
+        cov = (vecs * np.maximum(eigs, 1e-8 * emax)) @ vecs.T
+        cov = (cov + cov.T) / 2
+    return cov
+
+
 def build_blocked_proposal(
     covmat: np.ndarray,
     blocks_param_indices,

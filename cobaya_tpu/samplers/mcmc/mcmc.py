@@ -34,7 +34,11 @@ from ...ops.convergence import (
     rminus1_of_moments,
 )
 from ...ops.metropolis import MCMCCarry, init_carry, make_epoch_fn, reset_moments
-from ...ops.proposal import build_blocked_proposal, make_block_schedule
+from ...ops.proposal import (
+    build_blocked_proposal,
+    make_block_schedule,
+    regularize_learned_covmat,
+)
 from ...utils import conventions as cv
 from ...utils.log import LoggedError
 from ...utils.tools import NumberWithUnits, read_dnumber
@@ -1040,8 +1044,10 @@ class MCMC(CovmatSampler):
             and self.learn_proposal_Rminus1_min < self.Rminus1_last
             < self.learn_proposal_Rminus1_max
         ):
+            cov = regularize_learned_covmat(
+                self._last_stats["mean_of_covs"])
             try:
-                self._set_proposal(self._last_stats["mean_of_covs"])
+                self._set_proposal(cov)
                 self.mpi_info("Updated proposal covariance from walker "
                               "statistics.")
             except LoggedError:

@@ -667,3 +667,49 @@ def test_des_cuts_and_chi2_match_raw_file_oracle(tmp_path):
     invcov = np.linalg.inv(fullcov[np.ix_(used, used)])
     oracle = float(delta @ invcov @ delta)
     np.testing.assert_allclose(ours, oracle, rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Planck low-l TT (Gaussianized Gibbs): spline transform + Jacobian +
+# Gaussian form + fiducial offset (reference planck_2018_lowl/TT.py:100-130)
+# ---------------------------------------------------------------------------
+def test_lowT_matches_raw_file_oracle(tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_traced_likelihoods import _lowT_package
+
+    from cobaya_tpu.likelihoods.planck_2018_lowl.TT import TT
+
+    path = _lowT_package(tmp_path)
+    like = TT({"path": path}, name="lowT_oracle")
+    lmin, lmax = 2, 29
+    n = lmax - lmin + 1
+    ells = np.arange(lmin, lmax + 1, dtype=float)
+    cls_full = np.zeros(lmax + 1)
+    cls_full[lmin:] = 1050.0 * (ells / 200.0) ** -0.58
+    calib = 1.01
+    ours = like.log_likelihood(cls_full, calib)
+    # oracle straight from the files (scipy splines are library code)
+    from scipy.interpolate import InterpolatedUnivariateSpline
+
+    cov = np.loadtxt(os.path.join(path, "cov.txt"))[:n, :n]
+    mu = np.loadtxt(os.path.join(path, "mu.txt"))[:n]
+    mu_sigma = np.loadtxt(os.path.join(path, "mu_sigma.txt"))[:n]
+    knots = np.loadtxt(os.path.join(path, "cl2x_1.txt"))[:, :n]
+    vals = np.loadtxt(os.path.join(path, "cl2x_2.txt"))[:, :n]
+    invcov = np.linalg.inv(cov)
+    splines = [InterpolatedUnivariateSpline(knots[:, i], vals[:, i])
+               for i in range(n)]
+
+    def oracle_raw(theory):
+        x = np.array([s(c) for s, c in zip(splines, theory)])
+        jac = sum(np.log(s.derivative()(c))
+                  for s, c in zip(splines, theory))
+        d = x - mu
+        return jac - 0.5 * d @ invcov @ d
+
+    oracle = oracle_raw(cls_full[lmin:] / calib**2) - oracle_raw(mu_sigma)
+    np.testing.assert_allclose(ours, oracle, rtol=1e-9)
+    # out-of-range theory (beyond the saturated spline region) -> -inf
+    assert like.log_likelihood(cls_full * 5.0, calib) == -np.inf

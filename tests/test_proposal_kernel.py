@@ -107,3 +107,31 @@ def test_radial_mixture_tail(prop):
     # P(R > 4) for pure 2D-Gaussian radius ~ exp(-8) ~ 3e-4; the 1/3
     # exponential component lifts it to ~ exp(-4)/3 ~ 6e-3
     assert (radius > 4.0).mean() > 2e-3
+
+def test_regularize_learned_covmat():
+    """f32-reduction noise (tiny negative eigenvalues, slight asymmetry)
+    must be repaired; genuinely indefinite matrices must pass through
+    un-fixed so the strict proposal check still rejects them."""
+    from cobaya_tpu.ops.proposal import (
+        build_blocked_proposal,
+        regularize_learned_covmat,
+    )
+
+    rng = np.random.default_rng(21)
+    A = rng.normal(size=(10, 10))
+    C = A @ A.T
+    w, V = np.linalg.eigh(C)
+    w[0] = -1e-7 * w[-1]
+    noisy = (V * w) @ V.T + 1e-13 * rng.normal(size=(10, 10))
+    fixed = regularize_learned_covmat(noisy)
+    assert np.all(np.linalg.eigvalsh(fixed) > 0)
+    assert np.allclose(fixed, fixed.T)
+    # the repair only moves the noise-level eigenvalue: the matrix stays
+    # within O(|clipped eigenvalue|) of the input
+    assert np.max(np.abs(fixed - (noisy + noisy.T) / 2)) < 1e-5 * w[-1]
+    build_blocked_proposal(fixed, [list(range(10))])  # must not raise
+    w[0] = -0.1 * w[-1]
+    still_bad = regularize_learned_covmat((V * w) @ V.T)
+    assert np.linalg.eigvalsh(still_bad)[0] < 0
+    with pytest.raises(Exception):
+        build_blocked_proposal(still_bad, [list(range(10))])
