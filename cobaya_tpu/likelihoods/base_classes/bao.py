@@ -353,7 +353,7 @@ class BAO(InstallableLikelihood):
                     return float(self._grid_interp(vals[0], vals[1])[0][0])
                 except ValueError:
                     return -np.inf
-            return float(self._grid_interp(np.asarray(vals)))
+            return float(self._grid_interp(np.asarray(vals))[0])
         theory = np.array([
             self.theory_value(q, z) for q, z in zip(self.quantities, self.z)
         ])

@@ -713,3 +713,143 @@ def test_lowT_matches_raw_file_oracle(tmp_path):
     np.testing.assert_allclose(ours, oracle, rtol=1e-9)
     # out-of-range theory (beyond the saturated spline region) -> -inf
     assert like.log_likelihood(cls_full * 5.0, calib) == -np.inf
+
+
+# ---------------------------------------------------------------------------
+# BAO grid likelihoods: tabulated chi2(alpha) and 2-D/3-D probability grids
+# (reference bao.py:179-236 prob_dist/grid interpolators, logp dispatch)
+# ---------------------------------------------------------------------------
+def test_bao_prob_dist_matches_raw_file_oracle(tmp_path, monkeypatch):
+    from scipy.interpolate import UnivariateSpline
+
+    chi2_tab = 12.0 * (np.linspace(-1, 1, 151)) ** 2 \
+        + 0.8 * np.sin(np.linspace(0, 6, 151))
+    np.savetxt(tmp_path / "prob.txt", chi2_tab)
+    lo, hi = 3.0, 7.0
+    like = BAO({"measurements_file": None,
+                "data": [0.15, 4.5, 0.2, "DV_over_rs"],
+                "prob_dist": str(tmp_path / "prob.txt"),
+                "prob_dist_bounds": [lo, hi],
+                "path": str(tmp_path)}, name="bao_prob_oracle")
+    theory_val = 4.83
+    monkeypatch.setattr(BAO, "theory_value",
+                        lambda self, q, z: theory_val)
+    ours = like.logp()
+    alpha = np.linspace(lo, hi, len(chi2_tab))
+    oracle = float(UnivariateSpline(alpha, -chi2_tab / 2, s=0)(theory_val))
+    np.testing.assert_allclose(ours, oracle, rtol=1e-9)
+    # outside the tabulated bounds -> -inf
+    monkeypatch.setattr(BAO, "theory_value", lambda self, q, z: hi + 0.5)
+    assert like.logp() == -np.inf
+
+
+def test_bao_grid2d_matches_raw_file_oracle(tmp_path, monkeypatch):
+    from scipy.interpolate import RectBivariateSpline
+
+    x = np.linspace(5.0, 25.0, 31)
+    y = np.linspace(10.0, 40.0, 33)
+    xx, yy = np.meshgrid(x, y, indexing="ij")
+    p = np.exp(-0.5 * (((xx - 14) / 2.5) ** 2 + ((yy - 22) / 3.5) ** 2)
+               + 0.05 * np.sin(xx) * np.cos(yy))
+    np.savetxt(tmp_path / "grid2.txt",
+               np.column_stack([xx.ravel(), yy.ravel(), p.ravel()]))
+    like = BAO({"grid_file": str(tmp_path / "grid2.txt"),
+                "redshift": 0.51,
+                "observable_1": "DM_over_rs",
+                "observable_2": "DH_over_rs",
+                "path": str(tmp_path)}, name="bao_grid2_oracle")
+    vals = {"DM_over_rs": 13.7, "DH_over_rs": 23.9}
+    monkeypatch.setattr(BAO, "theory_value",
+                        lambda self, q, z: vals[q])
+    ours = like.logp()
+    oracle = float(RectBivariateSpline(
+        x, y, np.log(p), kx=3, ky=3)(vals["DM_over_rs"],
+                                     vals["DH_over_rs"])[0][0])
+    np.testing.assert_allclose(ours, oracle, rtol=1e-9)
+
+
+def test_bao_grid3d_matches_raw_file_oracle(tmp_path, monkeypatch):
+    from scipy.interpolate import RegularGridInterpolator
+
+    x = np.linspace(5.0, 25.0, 13)
+    y = np.linspace(10.0, 40.0, 11)
+    z = np.linspace(0.2, 0.8, 9)
+    xx, yy, zz = np.meshgrid(x, y, z, indexing="ij")
+    p = np.exp(-0.5 * (((xx - 14) / 3) ** 2 + ((yy - 22) / 4) ** 2
+                       + ((zz - 0.45) / 0.1) ** 2))
+    np.savetxt(tmp_path / "grid3.txt",
+               np.column_stack([xx.ravel(), yy.ravel(), zz.ravel(),
+                                p.ravel()]))
+    like = BAO({"grid_file": str(tmp_path / "grid3.txt"),
+                "redshift": 0.7,
+                "observable_1": "DM_over_rs",
+                "observable_2": "DH_over_rs",
+                "observable_3": "f_sigma8",
+                "path": str(tmp_path)}, name="bao_grid3_oracle")
+    vals = {"DM_over_rs": 15.2, "DH_over_rs": 21.1, "f_sigma8": 0.43}
+    monkeypatch.setattr(BAO, "theory_value",
+                        lambda self, q, z: vals[q])
+    ours = like.logp()
+    oracle = float(RegularGridInterpolator(
+        (x, y, z), np.log(p.reshape(13, 11, 9) + 1e-300))(
+        [vals["DM_over_rs"], vals["DH_over_rs"], vals["f_sigma8"]])[0])
+    np.testing.assert_allclose(ours, oracle, rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# SN full JLA mode: alpha/beta covariance assembly + profiled-scriptm chi2
+# (reference sn.py:238-361: inverse_covariance_matrix + alpha_beta_logp)
+# ---------------------------------------------------------------------------
+def test_jla_alpha_beta_matches_raw_file_oracle(tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_traced_likelihoods import _jla_style_dataset
+
+    info = _jla_style_dataset(tmp_path, marginalize=False)
+    like = SN({"dataset_file": str(tmp_path / "jla.dataset"),
+               "path": str(tmp_path),
+               "alpha_beta_names": ["alpha_jla", "beta_jla"]},
+              name="jla_oracle")
+    n = like.nsn
+    rng = np.random.default_rng(17)
+    lumdists = 5 * np.log10(np.linspace(0.1, 0.9, n) * 3900
+                            * (1 + np.linspace(0.1, 0.9, n)))
+    alpha, beta = 0.145, 3.09
+    ours = like.alpha_beta_logp(lumdists, alpha, beta)
+    # oracle: parse the light-curve file + covariance components directly
+    lines = (tmp_path / "lc.txt").read_text().splitlines()
+    cols = lines[0][1:].split()
+    table = np.array([[float(v) for v in ln.split()[1:]]
+                      for ln in lines[1:] if ln.strip()])
+    col = {c: table[:, i - 1] for i, c in enumerate(cols) if c != "name"}
+    ini = dict(
+        ln.split("=", 1) for ln in
+        (tmp_path / "jla.dataset").read_text().splitlines() if "=" in ln)
+    ini = {k.strip(): v.strip() for k, v in ini.items()}
+    pecz = float(ini["pecz"])
+    zfacsq = 25.0 / np.log(10.0) ** 2
+    zcmb, mag, dmb = col["zcmb"], col["mb"], col["dmb"]
+    x1, color = col["x1"], col["color"]
+    dx1, dcolor = col["dx1"], col["dcolor"]
+    cms, cmc, csc = col["cov_m_s"], col["cov_m_c"], col["cov_s_c"]
+    pre_vars = dmb**2 + zfacsq * pecz**2 * (
+        (1.0 + zcmb) / (zcmb * (1 + 0.5 * zcmb))) ** 2
+    C = (np.loadtxt(tmp_path / ini["mag_covmat_file"])
+         + alpha**2 * np.loadtxt(tmp_path / ini["stretch_covmat_file"])
+         + beta**2 * np.loadtxt(tmp_path / ini["colour_covmat_file"]))
+    diag_extra = (pre_vars + alpha**2 * dx1**2 + beta**2 * dcolor**2
+                  + 2 * alpha * cms - 2 * beta * cmc
+                  - 2 * alpha * beta * csc)
+    C = C + np.diag(diag_extra)
+    invvars = 1.0 / diag_extra
+    scriptm = np.sum((mag - lumdists) * invvars) / np.sum(invvars)
+    diffmag = mag - lumdists + alpha * x1 - beta * color - scriptm
+    invC = np.linalg.inv(C)
+    wt = invC @ diffmag
+    A = wt @ diffmag
+    B = np.sum(wt)
+    E = np.sum(invC)
+    oracle = -0.5 * (A + np.log(E / (2 * np.pi)) - B**2 / E)
+    np.testing.assert_allclose(ours, oracle, rtol=1e-9)
+    del rng
