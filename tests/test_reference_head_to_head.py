@@ -123,3 +123,57 @@ def test_posterior_moments_match_reference(reference_moments):
         assert np.all(np.abs(m - ref["truth_mean"])
                       / np.sqrt(np.diag(ref["truth_cov"])) < 0.35)
         assert np.abs(c - ref["truth_cov"]).max() / scale.max() < 0.35
+
+
+def _install_pybobyqa_stub():
+    """The reference's minimize module imports pybobyqa at module scope
+    even when method='scipy'; a vocabulary-only stub satisfies the import
+    (solve is never called on the scipy path)."""
+    import importlib.machinery
+    import types
+
+    pb = types.ModuleType("pybobyqa")
+    ctl = types.ModuleType("pybobyqa.controller")
+    for i, name in enumerate([
+        "EXIT_MAXFUN_WARNING", "EXIT_SLOW_WARNING",
+        "EXIT_FALSE_SUCCESS_WARNING", "EXIT_INPUT_ERROR",
+        "EXIT_TR_INCREASE_ERROR", "EXIT_LINALG_ERROR", "EXIT_SUCCESS",
+    ]):
+        setattr(ctl, name, 100 + i)
+    pb.controller = ctl
+    pb.solve = None
+    pb.__spec__ = importlib.machinery.ModuleSpec("pybobyqa", None)
+    ctl.__spec__ = importlib.machinery.ModuleSpec("pybobyqa.controller",
+                                                  None)
+    sys.modules["pybobyqa"] = pb
+    sys.modules["pybobyqa.controller"] = ctl
+
+
+def test_map_point_matches_reference(reference_moments):
+    """Same posterior, both frameworks' minimize sampler: the MAP points
+    and -log(posterior) values must coincide (reference scipy path vs our
+    batched L-BFGS)."""
+    _install_pybobyqa_stub()
+    from cobaya.run import run as ref_run
+
+    from cobaya_tpu.run import run
+
+    mean, cov = (reference_moments["truth_mean"],
+                 reference_moments["truth_cov"])
+    names = [f"x{i}" for i in range(DIM)]
+    info_ref = _info(mean, cov, {"minimize": {
+        "method": "scipy", "best_of": 2, "seed": 3}})
+    _, ref_sampler = ref_run(info_ref)
+    ref_min = ref_sampler.products()["minimum"]
+    ref_point = np.array([float(ref_min[n]) for n in names])
+    ref_logpost = float(ref_min["minuslogpost"])
+    info_ours = _info(mean, cov, {"minimize": {"seed": 4}})
+    _, sampler = run(info_ours)
+    ours = sampler.products()["minimum"]
+    ours_point = np.array([np.asarray(ours[n]).ravel()[0]
+                           for n in names])
+    ours_logpost = float(np.asarray(ours["minuslogpost"]).ravel()[0])
+    sig = np.sqrt(np.diag(cov))
+    assert np.all(np.abs(ours_point - ref_point) / sig < 2e-3), (
+        ours_point, ref_point)
+    np.testing.assert_allclose(ours_logpost, ref_logpost, rtol=1e-6)
