@@ -177,3 +177,32 @@ def test_map_point_matches_reference(reference_moments):
     assert np.all(np.abs(ours_point - ref_point) / sig < 2e-3), (
         ours_point, ref_point)
     np.testing.assert_allclose(ours_logpost, ref_logpost, rtol=1e-6)
+
+
+def test_logposterior_values_match_reference_exactly(reference_moments):
+    """Single-point posterior evaluation: logpost / logprior / loglike from
+    the reference's Model and ours must agree to f32 float precision on
+    the same inputs (no Monte-Carlo error in this comparison)."""
+    from cobaya.model import get_model as ref_get_model
+
+    from cobaya_tpu.models.model import get_model
+
+    mean, cov = (reference_moments["truth_mean"],
+                 reference_moments["truth_cov"])
+    info = _info(mean, cov, None)
+    info.pop("sampler")
+    ref_model = ref_get_model(dict(info))
+    model = get_model(dict(info))
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        pt = rng.normal(0, 1.5, DIM)
+        ref_lp = ref_model.logposterior(pt)
+        lp = model.logposterior(pt)
+        # the device path carries float32 state (TPU-native design, full-
+        # f32 matmul precision): agreement is bounded by f32 epsilon, far
+        # below any formula discrepancy
+        np.testing.assert_allclose(lp.logpost, ref_lp.logpost, rtol=1e-6)
+        np.testing.assert_allclose(lp.logpriors, ref_lp.logpriors,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(lp.loglikes, ref_lp.loglikes,
+                                   rtol=1e-6)
